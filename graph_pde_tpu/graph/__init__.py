@@ -1,4 +1,11 @@
-from .graph import Graph, build_graph, stack_graphs, round_up
+from .graph import (
+    Graph,
+    MultiLevelGraph,
+    build_graph,
+    build_multilevel_graph,
+    stack_graphs,
+    round_up,
+)
 from .build import (
     radius_connectivity,
     forward_filter,
@@ -26,7 +33,8 @@ from .lattice import (
 from .multipole import multi_pole_grid1d, get_edge_attr, multipole_levels_1d
 
 __all__ = [
-    "Graph", "build_graph", "stack_graphs", "round_up",
+    "Graph", "MultiLevelGraph", "build_graph", "build_multilevel_graph",
+    "stack_graphs", "round_up",
     "radius_connectivity", "forward_filter", "gaussian_connectivity",
     "torus1d_connectivity", "torus2d_connectivity", "edge_attributes",
     "make_box_grid", "SquareMeshGenerator", "RandomMeshGenerator",

@@ -142,6 +142,151 @@ def build_graph(
     )
 
 
+@struct.dataclass
+class MultiLevelGraph:
+    """An L-level multipole graph in a single padded node array.
+
+    Node layout: level l occupies rows [points[l], points[l+1]) — level
+    sizes are static (the generators sample exactly m[l] nodes per level,
+    utilities.py:582-594), so no node padding is needed. Edge sets are
+    concatenated with static per-level capacity ranges (the reference's
+    concatenate+ranges trick, utilities.py:642-665, made static):
+
+    - mid edges (K_ll): LOCAL per-level indices (the general MGKN applies
+      K_ll on the level's node slice, MGKN_general_darcy2d.py:84-86).
+    - down edges (K_{l,l+1}) and up edges (K_{l+1,l}): GLOBAL indices over
+      the whole node array (residual convs on the full array).
+
+    Static metadata (points, per-level capacity ranges) rides as pytree
+    aux data so jit/vmap treat it as compile-time constants.
+    """
+
+    x: jnp.ndarray
+    mid_senders: jnp.ndarray
+    mid_receivers: jnp.ndarray
+    mid_attr: jnp.ndarray
+    mid_mask: jnp.ndarray
+    down_senders: jnp.ndarray
+    down_receivers: jnp.ndarray
+    down_attr: jnp.ndarray
+    down_mask: jnp.ndarray
+    up_senders: jnp.ndarray
+    up_receivers: jnp.ndarray
+    up_attr: jnp.ndarray
+    up_mask: jnp.ndarray
+    y: Optional[jnp.ndarray] = None
+    sample_idx: Optional[jnp.ndarray] = None
+    points: tuple = struct.field(pytree_node=False, default=())
+    mid_ranges: tuple = struct.field(pytree_node=False, default=())
+    down_ranges: tuple = struct.field(pytree_node=False, default=())
+    up_ranges: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def level(self) -> int:
+        return len(self.points) - 1
+
+
+def _pad_edge_segments(edge_list, attr_list, caps, local_sizes,
+                       edge_multiple):
+    """Pads per-level (senders, receivers, attr) to static capacities and
+    concatenates. ``local_sizes[l]`` is the padding receiver parking index
+    for level l. Returns arrays + the static range tuple + capacities."""
+    n_levels = len(edge_list)
+    if caps is None:
+        caps = tuple(round_up(max(e.shape[1], 1), edge_multiple)
+                     for e in edge_list)
+    a_dim = attr_list[0].shape[1]
+    s_out, r_out, a_out, m_out, ranges = [], [], [], [], []
+    start = 0
+    for l in range(n_levels):
+        e = edge_list[l].shape[1]
+        cap = caps[l]
+        assert cap >= e, f"edge capacity {cap} < {e} at level {l}"
+        src = np.asarray(edge_list[l][0], np.int64)
+        dst = np.asarray(edge_list[l][1], np.int64)
+        attr = np.asarray(attr_list[l], np.float32)
+        order = np.lexsort((src, dst))
+        src, dst, attr = src[order], dst[order], attr[order]
+        sp = np.zeros(cap, np.int32)
+        sp[:e] = src
+        rp = np.full(cap, local_sizes[l] - 1, np.int32)
+        rp[:e] = dst
+        ap = np.zeros((cap, a_dim), np.float32)
+        ap[:e] = attr
+        mp = np.zeros(cap, bool)
+        mp[:e] = True
+        s_out.append(sp)
+        r_out.append(rp)
+        a_out.append(ap)
+        m_out.append(mp)
+        ranges.append((start, start + cap))
+        start += cap
+    return (np.concatenate(s_out), np.concatenate(r_out),
+            np.concatenate(a_out), np.concatenate(m_out),
+            tuple(ranges), tuple(caps))
+
+
+def build_multilevel_graph(
+    x: np.ndarray,
+    level_sizes,
+    mid_edges, mid_attrs,
+    down_edges, down_attrs,
+    up_edges, up_attrs,
+    *,
+    y: Optional[np.ndarray] = None,
+    sample_idx: Optional[np.ndarray] = None,
+    mid_caps=None, down_caps=None, up_caps=None,
+    edge_multiple: int = 256,
+) -> MultiLevelGraph:
+    """Builds a MultiLevelGraph from host-side per-level edge lists.
+
+    mid_edges[l] must use GLOBAL indices (as produced by
+    RandomMultiMeshGenerator.ball_connectivity); they are localized to the
+    level's slice here. down/up edges stay global.
+    """
+    level_sizes = tuple(int(m) for m in level_sizes)
+    points = (0,) + tuple(np.cumsum(level_sizes).tolist())
+    n_tot = points[-1]
+    x = np.asarray(x, np.float32)
+    assert x.shape[0] == n_tot
+
+    mid_local = []
+    for l, ei in enumerate(mid_edges):
+        ei = np.asarray(ei) - points[l]
+        assert ei.min() >= 0 and ei.max() < level_sizes[l]
+        mid_local.append(ei)
+
+    mid = _pad_edge_segments(mid_local, mid_attrs, mid_caps, level_sizes,
+                             edge_multiple)
+    glob_sizes = [n_tot] * max(len(down_edges), 1)
+    down = _pad_edge_segments(down_edges, down_attrs, down_caps, glob_sizes,
+                              edge_multiple)
+    up = _pad_edge_segments(up_edges, up_attrs, up_caps, glob_sizes,
+                            edge_multiple)
+
+    yp = None
+    if y is not None:
+        y = np.asarray(y, np.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        yp = y
+    sip = None
+    if sample_idx is not None:
+        sip = np.asarray(sample_idx, np.int32).reshape(-1)
+
+    return MultiLevelGraph(
+        x=x,
+        mid_senders=mid[0], mid_receivers=mid[1], mid_attr=mid[2],
+        mid_mask=mid[3],
+        down_senders=down[0], down_receivers=down[1], down_attr=down[2],
+        down_mask=down[3],
+        up_senders=up[0], up_receivers=up[1], up_attr=up[2], up_mask=up[3],
+        y=yp, sample_idx=sip,
+        points=points, mid_ranges=mid[4], down_ranges=down[4],
+        up_ranges=up[4],
+    )
+
+
 def stack_graphs(graphs) -> Graph:
     """Stacks same-capacity graphs along a new leading batch axis."""
     import jax
@@ -156,4 +301,11 @@ def pad_capacities(graphs) -> tuple:
     return n_max, e_max
 
 
-__all__ = ["Graph", "build_graph", "stack_graphs", "round_up"]
+__all__ = [
+    "Graph",
+    "MultiLevelGraph",
+    "build_graph",
+    "build_multilevel_graph",
+    "stack_graphs",
+    "round_up",
+]

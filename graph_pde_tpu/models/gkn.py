@@ -1,0 +1,108 @@
+"""GKN — Graph Kernel Network.
+
+One configurable model covering every reference GKN variant:
+
+- ``KernelNN`` (graph-neural-operator/UAI1_full_resolution.py:14-33):
+  kappa = DenseNet([ker_in, ker_width, ker_width, width^2]), ReLU after
+  every conv iteration, linear decoder.
+- ``KernelNN3`` (multipole-graph-neural-operator/neurips1_GKN.py:16-37,
+  UAI3_resolution.py:13-32): kappa = DenseNet([ker_in, ker_width//2,
+  ker_width, width^2]), no ReLU after the last iteration.
+- Burgers ``KernelNN`` (multipole-graph-neural-operator/neurips5_GKN.py:
+  15-39): KernelNN3 kappa + two-layer decoder.
+- ``UAI8`` 5-layer kappa sweep (graph-neural-operator/UAI8_kernel.py:21)
+  via an explicit ``kernel_layers`` override.
+
+Forward: x = P(x); depth x [shared edge-kernel conv + optional ReLU];
+decode. The conv weights are shared across iterations (Picard iteration of
+the kernel integral operator), matching the reference's single ``conv1``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import Graph
+from ..ops.dense import dense_init, dense_apply, linear_init, pyg_uniform_init
+from ..ops.edge_conv import edge_kernel_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class GKNConfig:
+    width: int = 64
+    ker_width: int = 1024
+    depth: int = 6
+    ker_in: int = 6
+    in_width: int = 6
+    out_width: int = 1
+    kernel_layers: Optional[Tuple[int, ...]] = None  # default: KernelNN
+    relu_last: bool = True      # ReLU after the final conv iteration
+    decoder_mlp: bool = False   # two-layer decoder (neurips5_GKN.py:36-39)
+    aggr: str = "mean"
+    root_weight: bool = True
+    use_bias: bool = True
+    impl: str = "auto"
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+
+    def resolved_kernel_layers(self) -> Tuple[int, ...]:
+        if self.kernel_layers is not None:
+            return tuple(self.kernel_layers)
+        return (self.ker_in, self.ker_width, self.ker_width,
+                self.width ** 2)
+
+    @staticmethod
+    def kernel_nn3_layers(ker_in: int, ker_width: int, width: int):
+        return (ker_in, ker_width // 2, ker_width, width ** 2)
+
+
+def gkn_init(key, cfg: GKNConfig):
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    params = {
+        "fc1": linear_init(k1, cfg.in_width, cfg.width),
+        "kernel": dense_init(k2, cfg.resolved_kernel_layers()),
+    }
+    # PyG uniform(in_channels) init for root/bias (nn_conv.py:261-265)
+    if cfg.root_weight:
+        params["root"] = pyg_uniform_init(k3, cfg.width,
+                                          (cfg.width, cfg.width))
+    if cfg.use_bias:
+        params["bias"] = pyg_uniform_init(k4, cfg.width, (cfg.width,))
+    if cfg.decoder_mlp:
+        params["fc2"] = linear_init(k5, cfg.width, cfg.ker_width)
+        params["fc3"] = linear_init(k6, cfg.ker_width, cfg.out_width)
+    else:
+        params["fc2"] = linear_init(k5, cfg.width, cfg.out_width)
+    return params
+
+
+def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
+    """Forward on one padded graph -> [N_pad, out_width]."""
+    x = graph.x @ params["fc1"]["w"] + params["fc1"]["b"]
+    edge_mask = graph.edge_mask()
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    for t in range(cfg.depth):
+        x = edge_kernel_conv(
+            x, graph.senders, graph.receivers, graph.edge_attr, edge_mask,
+            params["kernel"],
+            in_channels=cfg.width, out_channels=cfg.width, aggr=cfg.aggr,
+            root=params.get("root"), bias=params.get("bias"),
+            impl=cfg.impl, compute_dtype=dtype)
+        if t != cfg.depth - 1 or cfg.relu_last:
+            x = jax.nn.relu(x)
+    if cfg.decoder_mlp:
+        x = jax.nn.relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
+        x = x @ params["fc3"]["w"] + params["fc3"]["b"]
+    else:
+        x = x @ params["fc2"]["w"] + params["fc2"]["b"]
+    return x
+
+
+def gkn_apply_batched(params, cfg: GKNConfig, graphs: Graph) -> jnp.ndarray:
+    """vmap over a stacked batch of graphs -> [B, N_pad, out_width]."""
+    return jax.vmap(lambda g: gkn_apply(params, cfg, g))(graphs)
+
+
+__all__ = ["GKNConfig", "gkn_init", "gkn_apply", "gkn_apply_batched"]

@@ -1,0 +1,162 @@
+"""MGKN (general, non-nested multilevel) — multipole graph kernel network.
+
+Covers both reference variants:
+
+- ``MKGN`` (multipole-graph-neural-operator/MGKN_general_darcy2d.py:21-94),
+  the flagship: per V-cycle, downward residual K_{l,l+1} convs with ReLU;
+  upward, K_ll applied *in place on the level's node slice* (no ReLU,
+  root_weight=True) followed by residual K_{l+1,l} convs with ReLU; decode
+  the finest level.
+- ``KernelInduced`` (neurips1_MGKN.py:20-89): K_ll applied as a residual on
+  the full node array with ReLU, all convs root_weight=False, bias=False.
+
+Per-level kernel widths halve (``ker_width // 2**l``), mid kernels have two
+hidden layers, down/up kernels one (MGKN_general_darcy2d.py:43-62).
+
+The reference's in-place slice update (MGKN_general_darcy2d.py:84-86) maps
+to a static-slice ``x.at[p0:p1].set(...)`` because level offsets are static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import MultiLevelGraph
+from ..ops.dense import dense_init, linear_init, pyg_uniform_init
+from ..ops.edge_conv import edge_kernel_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class MGKNGeneralConfig:
+    width: int = 64
+    ker_width: int = 256
+    depth: int = 5
+    ker_in: int = 6
+    in_width: int = 6
+    out_width: int = 1
+    points: Tuple[int, ...] = (400, 100, 25)  # per-level node counts
+    variant: str = "mkgn"  # 'mkgn' (flagship) | 'induced' (neurips1)
+    impl: str = "auto"
+    compute_dtype: Optional[str] = None
+
+    @property
+    def level(self) -> int:
+        return len(self.points)
+
+    def offsets(self) -> Tuple[int, ...]:
+        out = [0]
+        for p in self.points:
+            out.append(out[-1] + p)
+        return tuple(out)
+
+
+def mgkn_general_init(key, cfg: MGKNGeneralConfig):
+    level = cfg.level
+    keys = jax.random.split(key, 4 * level + 4)
+    ki = iter(range(len(keys)))
+    params = {
+        "fc_in": linear_init(keys[next(ki)], cfg.in_width, cfg.width),
+        "conv_down": [],
+        "conv_mid": [],
+        "conv_up": [],
+    }
+    mid_root = cfg.variant == "mkgn"  # MKGN: root_weight=True on K_ll
+    for l in range(1, level):
+        kw_l = cfg.ker_width // (2 ** l)
+        params["conv_down"].append({
+            "kernel": dense_init(keys[next(ki)],
+                                 (cfg.ker_in, kw_l, cfg.width ** 2)),
+        })
+    for l in range(level):
+        kw_l = cfg.ker_width // (2 ** l)
+        conv = {
+            "kernel": dense_init(keys[next(ki)],
+                                 (cfg.ker_in, kw_l, kw_l, cfg.width ** 2)),
+        }
+        if mid_root:
+            conv["root"] = pyg_uniform_init(keys[next(ki)], cfg.width,
+                                            (cfg.width, cfg.width))
+        params["conv_mid"].append(conv)
+    for l in range(1, level):
+        kw_l = cfg.ker_width // (2 ** l)
+        params["conv_up"].append({
+            "kernel": dense_init(keys[next(ki)],
+                                 (cfg.ker_in, kw_l, cfg.width ** 2)),
+        })
+    params["fc_out1"] = linear_init(keys[next(ki)], cfg.width, cfg.ker_width)
+    params["fc_out2"] = linear_init(keys[next(ki)], cfg.ker_width,
+                                    cfg.out_width)
+    return params
+
+
+def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l):
+    r0, r1 = ranges[l]
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    return edge_kernel_conv(
+        x, senders[r0:r1], receivers[r0:r1], attr[r0:r1], mask[r0:r1],
+        conv_params["kernel"],
+        in_channels=cfg.width, out_channels=cfg.width, aggr="mean",
+        root=conv_params.get("root"), bias=None,
+        impl=cfg.impl, compute_dtype=dtype)
+
+
+def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
+                       g: MultiLevelGraph) -> jnp.ndarray:
+    """Forward on one multilevel graph -> [points[0], out_width]
+    (predictions on the finest level's nodes)."""
+    level = cfg.level
+    offs = cfg.offsets()
+    x = g.x @ params["fc_in"]["w"] + params["fc_in"]["b"]
+
+    for _ in range(cfg.depth):
+        # downward pass: residual K_{l,l+1} + ReLU
+        for l in range(level - 1):
+            x = x + _conv(x, g.down_senders, g.down_receivers, g.down_attr,
+                          g.down_mask, params["conv_down"][l], cfg,
+                          g.down_ranges, l)
+            x = jax.nn.relu(x)
+        # upward pass
+        for l in reversed(range(level)):
+            if cfg.variant == "mkgn":
+                # in-place K_ll on the level slice, NO ReLU
+                # (MGKN_general_darcy2d.py:84-86)
+                x_slice = x[offs[l]:offs[l + 1]]
+                new_slice = _conv(x_slice, g.mid_senders, g.mid_receivers,
+                                  g.mid_attr, g.mid_mask,
+                                  params["conv_mid"][l], cfg, g.mid_ranges, l)
+                x = x.at[offs[l]:offs[l + 1]].set(new_slice)
+            else:
+                # residual K_ll on the full array + ReLU
+                # (neurips1_MGKN.py:79-81) — mid edges stored locally; we
+                # apply on the slice then add back as a residual.
+                x_slice = x[offs[l]:offs[l + 1]]
+                delta = _conv(x_slice, g.mid_senders, g.mid_receivers,
+                              g.mid_attr, g.mid_mask,
+                              params["conv_mid"][l], cfg, g.mid_ranges, l)
+                x = x.at[offs[l]:offs[l + 1]].add(delta)
+                x = jax.nn.relu(x)
+            if l > 0:
+                x = x + _conv(x, g.up_senders, g.up_receivers, g.up_attr,
+                              g.up_mask, params["conv_up"][l - 1], cfg,
+                              g.up_ranges, l - 1)
+                x = jax.nn.relu(x)
+
+    # decode finest level only
+    x0 = x[: offs[1]]
+    x0 = jax.nn.relu(x0 @ params["fc_out1"]["w"] + params["fc_out1"]["b"])
+    return x0 @ params["fc_out2"]["w"] + params["fc_out2"]["b"]
+
+
+def mgkn_general_apply_batched(params, cfg, graphs):
+    return jax.vmap(lambda g: mgkn_general_apply(params, cfg, g))(graphs)
+
+
+__all__ = [
+    "MGKNGeneralConfig",
+    "mgkn_general_init",
+    "mgkn_general_apply",
+    "mgkn_general_apply_batched",
+]

@@ -1,0 +1,231 @@
+"""Model-layer tests: shapes, jit, grads, padding invariance."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_pde_tpu.graph import (
+    SquareMeshGenerator,
+    RandomMultiMeshGenerator,
+    build_graph,
+    build_multilevel_graph,
+    stack_graphs,
+    multi_pole_grid1d,
+    get_edge_attr,
+)
+from graph_pde_tpu.models import (
+    GKNConfig, gkn_init, gkn_apply, gkn_apply_batched,
+    MGKNGeneralConfig, mgkn_general_init, mgkn_general_apply,
+    MultipoleGraph1D, MGKNOrthogonalConfig, mgkn_orthogonal_init,
+    mgkn_orthogonal_apply,
+    GCNConfig, gcn_init, gcn_apply,
+)
+from graph_pde_tpu.models.gcn import gcn_conv
+
+
+def _tiny_gkn_graph(n_edge_pad=None, seed=0):
+    gen = SquareMeshGenerator([[0, 1], [0, 1]], [5, 5])
+    ei = gen.ball_connectivity(0.3)
+    rng = np.random.default_rng(seed)
+    theta = rng.normal(size=25).astype(np.float32)
+    attr = gen.attributes(theta=theta)
+    x = np.concatenate([gen.get_grid(), theta[:, None]], axis=1)
+    y = rng.normal(size=(25, 1)).astype(np.float32)
+    return build_graph(x, ei[0], ei[1], attr, y=y, n_node_pad=32,
+                       n_edge_pad=n_edge_pad)
+
+
+def test_gkn_forward_shapes_and_jit():
+    cfg = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6, in_width=3)
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    g = _tiny_gkn_graph()
+    out = jax.jit(lambda p, g: gkn_apply(p, cfg, g))(params, g)
+    assert out.shape == (32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gkn_padding_invariance():
+    """Growing the edge capacity must not change valid-node outputs."""
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=3)
+    params = gkn_init(jax.random.PRNGKey(1), cfg)
+    g1 = _tiny_gkn_graph()
+    g2 = _tiny_gkn_graph(n_edge_pad=g1.senders.shape[0] + 512)
+    o1 = gkn_apply(params, cfg, g1)
+    o2 = gkn_apply(params, cfg, g2)
+    np.testing.assert_allclose(np.asarray(o1)[:25], np.asarray(o2)[:25],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gkn_variants():
+    g = _tiny_gkn_graph()
+    # KernelNN3 (no relu after last conv) + MLP decoder (neurips5)
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=3,
+                    kernel_layers=GKNConfig.kernel_nn3_layers(6, 32, 16),
+                    relu_last=False, decoder_mlp=True)
+    params = gkn_init(jax.random.PRNGKey(2), cfg)
+    assert "fc3" in params
+    out = gkn_apply(params, cfg, g)
+    assert out.shape == (32, 1)
+
+
+def test_gkn_grad_and_batched():
+    cfg = GKNConfig(width=8, ker_width=16, depth=2, ker_in=6, in_width=3)
+    params = gkn_init(jax.random.PRNGKey(3), cfg)
+    graphs = stack_graphs([_tiny_gkn_graph(seed=i) for i in range(3)])
+
+    def loss(p):
+        out = gkn_apply_batched(p, cfg, graphs)
+        mask = jax.vmap(lambda g: g.node_mask())(graphs)
+        return jnp.sum((out[..., 0] * mask - graphs.y[..., 0] * mask) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def _tiny_multilevel(seed=0, caps=None):
+    m = [30, 15, 8]
+    gen = RandomMultiMeshGenerator([[0, 1], [0, 1]], [8, 8], level=3,
+                                   sample_sizes=m, seed=seed)
+    idx, idx_all = gen.sample()
+    gen.ball_connectivity([0.25, 0.5, 1.0], [0.15, 0.3])
+    rng = np.random.default_rng(seed)
+    theta = rng.normal(size=64).astype(np.float32)
+    attr, attr_down, attr_up = gen.attributes(theta=theta)
+    grids, grid_all = gen.get_grid()
+    x = np.concatenate([grid_all, theta[idx_all][:, None]], axis=1)
+    y = rng.normal(size=(m[0], 1)).astype(np.float32)
+    # split concatenated attrs back into per-level lists
+    rng_mid, rng_down, rng_up = gen.get_edge_index_range()
+    mid_attrs = [attr[rng_mid[l, 0]:rng_mid[l, 1]] for l in range(3)]
+    down_attrs = [attr_down[rng_down[l, 0]:rng_down[l, 1]] for l in range(2)]
+    up_attrs = [attr_up[rng_up[l, 0]:rng_up[l, 1]] for l in range(2)]
+    kw = {}
+    if caps is not None:
+        kw = dict(mid_caps=caps[0], down_caps=caps[1], up_caps=caps[2])
+    return build_multilevel_graph(
+        x, m, gen.edge_index, mid_attrs, gen.edge_index_down, down_attrs,
+        gen.edge_index_up, up_attrs, y=y, sample_idx=idx[0], **kw)
+
+
+@pytest.mark.parametrize("variant", ["mkgn", "induced"])
+def test_mgkn_general_forward(variant):
+    g = _tiny_multilevel()
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30, 15, 8), variant=variant)
+    params = mgkn_general_init(jax.random.PRNGKey(4), cfg)
+    out = jax.jit(lambda p, g: mgkn_general_apply(p, cfg, g))(params, g)
+    assert out.shape == (30, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mgkn_general_padding_invariance():
+    g1 = _tiny_multilevel()
+    # regenerate identical graph with larger capacities
+    caps = (tuple(r[1] - r[0] + 256 for r in g1.mid_ranges),
+            tuple(r[1] - r[0] + 256 for r in g1.down_ranges),
+            tuple(r[1] - r[0] + 256 for r in g1.up_ranges))
+    g2 = _tiny_multilevel(caps=caps)
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30, 15, 8))
+    params = mgkn_general_init(jax.random.PRNGKey(5), cfg)
+    o1 = mgkn_general_apply(params, cfg, g1)
+    o2 = mgkn_general_apply(params, cfg, g2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_mgkn_general_grad():
+    g = _tiny_multilevel()
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=1, ker_in=6,
+                            in_width=3, points=(30, 15, 8))
+    params = mgkn_general_init(jax.random.PRNGKey(6), cfg)
+
+    def loss(p):
+        return jnp.sum(mgkn_general_apply(p, cfg, g) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every conv kernel receives gradient
+    for l in range(3):
+        gk = grads["conv_mid"][l]["kernel"]
+        assert np.abs(np.asarray(gk[0]["w"])).max() > 0
+
+
+def _tiny_multipole1d(s=16, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.normal(size=(1, s, 1)).astype(np.float32)
+    grids, thetas, edges = multi_pole_grid1d(theta, 1, s, 1,
+                                             is_periodic=True)
+    attrs = []
+    senders, receivers = [], []
+    level = len(grids)
+    for i, e in enumerate(edges):
+        # edge i belongs to level max(i-1, 0) grid size
+        li = max(i - 1, 0)
+        attrs.append(jnp.asarray(
+            get_edge_attr(grids[li], thetas[li][0, :, 0], e)))
+        senders.append(jnp.asarray(e[0], jnp.int32))
+        receivers.append(jnp.asarray(e[1], jnp.int32))
+    x = np.stack([grids[0], thetas[0][0, :, 0]], axis=1)
+    y = rng.normal(size=(s, 1)).astype(np.float32)
+    return MultipoleGraph1D(x=jnp.asarray(x), senders=senders,
+                            receivers=receivers, attrs=attrs,
+                            y=jnp.asarray(y))
+
+
+def test_mgkn_orthogonal_forward_and_grad():
+    s = 16
+    g = _tiny_multipole1d(s)
+    cfg = MGKNOrthogonalConfig(width=8, ker_width=32, depth=2, ker_in=4,
+                               in_width=2, s=s)
+    assert cfg.level == 3
+    params = mgkn_orthogonal_init(jax.random.PRNGKey(7), cfg)
+    assert len(params["conv"]) == 4
+    out = jax.jit(lambda p, g: mgkn_orthogonal_apply(p, cfg, g))(params, g)
+    assert out.shape == (s, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss(p):
+        return jnp.sum((mgkn_orthogonal_apply(p, cfg, g) - g.y) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for l in range(4):
+        assert np.abs(np.asarray(grads["conv"][l]["kernel"][0]["w"])).max() > 0
+
+
+def test_gcn_conv_matches_dense_math():
+    rng = np.random.default_rng(8)
+    n = 7
+    adj = rng.uniform(size=(n, n)) < 0.4
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    src, dst = np.where(adj)
+    order = np.lexsort((src, dst))
+    src, dst = src[order], dst[order]
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    w = rng.normal(size=(5, 4)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+
+    out = gcn_conv(jnp.asarray(x), jnp.asarray(src, jnp.int32),
+                   jnp.asarray(dst, jnp.int32),
+                   jnp.ones(src.size, bool), {"w": w, "b": b}, n)
+
+    # dense reference: D^-1/2 (A+I) D^-1/2 X W + b
+    a_hat = adj.astype(np.float64) + np.eye(n)
+    d = a_hat.sum(1)
+    d_inv = np.diag(1.0 / np.sqrt(d))
+    ref = d_inv @ a_hat @ d_inv @ (x @ w) + b
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_model_forward():
+    g = _tiny_gkn_graph()
+    cfg = GCNConfig(width=16, ker_width=32, depth=2, in_width=3)
+    params = gcn_init(jax.random.PRNGKey(9), cfg)
+    out = gcn_apply(params, cfg, g)
+    assert out.shape == (32, 1)
+    assert np.isfinite(np.asarray(out)).all()
