@@ -1,0 +1,192 @@
+"""One configurable trainer replacing the reference's 15 script-level
+train loops (SURVEY.md section 2.4).
+
+Design: a *task* adapts a model family to the trainer —
+
+    forward(params, batch)  -> [B, N, out] predictions
+    targets(batch)          -> [B, N, out]
+    mask(batch)             -> [B, N] validity (padding excluded)
+    decode(values, batch)   -> physical-units fields [B, N] for metrics
+
+The trainer jits one (params, opt_state, batch) -> (params, opt_state,
+metrics) step with donated state, supports the three backward losses that
+appear in the reference (L1: UAI1_full_resolution.py:265; MSE:
+UAI3_resolution.py:223; decoded rel-L2: MGKN_general_darcy2d.py:277-280),
+and reports the reference's per-epoch metrics (train_mse, decoded
+train/test rel-L2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .optim import adam_steplr
+from ..utils.losses import LpLoss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 200
+    batch_size: int = 2
+    learning_rate: float = 1e-4
+    weight_decay: float = 5e-4
+    scheduler_step: int = 50
+    scheduler_gamma: float = 0.5
+    loss: str = "l1"          # 'l1' | 'mse' | 'rel2'
+    seed: int = 0
+
+
+class Task:
+    """Adapter base; see GKNTask etc. in graph_pde_tpu/train/tasks.py."""
+
+    def forward(self, params, batch):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def targets(self, batch):
+        return batch.y
+
+    def mask(self, batch):
+        raise NotImplementedError
+
+    def decode(self, values, batch):
+        """values: [B, N] encoded -> physical units."""
+        return values
+
+
+def make_loss_fn(task: Task, loss_type: str):
+    lp = LpLoss(size_average=False)
+
+    def loss_fn(params, batch):
+        pred = task.forward(params, batch)        # [B, N, out]
+        y = task.targets(batch)                   # [B, N, out]
+        mask = task.mask(batch).astype(pred.dtype)  # [B, N]
+        pm = pred[..., 0] * mask
+        ym = y[..., 0] * mask
+        diff = pm - ym
+        mse = jnp.sum(diff ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+        if loss_type == "l1":
+            loss = jnp.sum(jnp.abs(diff))
+        elif loss_type == "mse":
+            loss = mse
+        elif loss_type == "rel2":
+            dec_p = task.decode(pred[..., 0], batch) * mask
+            dec_y = task.decode(y[..., 0], batch) * mask
+            loss = lp.rel(dec_p, dec_y)
+        else:
+            raise ValueError(loss_type)
+        # decoded rel-L2 metric (the universal reference eval metric)
+        dec_p = task.decode(pred[..., 0], batch) * mask
+        dec_y = task.decode(y[..., 0], batch) * mask
+        l2 = lp.rel(dec_p, dec_y)
+        return loss, {"mse": mse, "l2_sum": l2,
+                      "batch": jnp.asarray(pred.shape[0], jnp.float32)}
+
+    return loss_fn
+
+
+def make_train_step(task: Task, tx):
+    loss_fn = make_loss_fn(task, task.loss_type)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(task: Task):
+    lp = LpLoss(size_average=False)
+
+    @jax.jit
+    def eval_step(params, batch):
+        pred = task.forward(params, batch)
+        y = task.targets(batch)
+        mask = task.mask(batch).astype(pred.dtype)
+        dec_p = task.decode(pred[..., 0], batch) * mask
+        dec_y = task.decode(y[..., 0], batch) * mask
+        return lp.rel(dec_p, dec_y)
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: object
+    opt_state: object
+    train_l2: list
+    test_l2: list
+    epoch_times: list
+
+
+def fit(task: Task, params, train_data, cfg: TrainConfig,
+        test_data=None, log_every: int = 1,
+        callback: Optional[Callable] = None) -> FitResult:
+    """Host-side epoch loop; batches come from data.batch_iterator over the
+    stacked pytrees."""
+    from ..data.datasets import batch_iterator
+
+    n_train = jax.tree_util.tree_leaves(train_data)[0].shape[0]
+    steps_per_epoch = max(n_train // cfg.batch_size, 1)
+    tx = adam_steplr(cfg.learning_rate, weight_decay=cfg.weight_decay,
+                     steps_per_epoch=steps_per_epoch,
+                     step_size_epochs=cfg.scheduler_step,
+                     gamma=cfg.scheduler_gamma)
+    opt_state = tx.init(params)
+    train_step = make_train_step(task, tx)
+    eval_step = make_eval_step(task)
+    rng = np.random.default_rng(cfg.seed)
+
+    train_l2_hist, test_l2_hist, times = [], [], []
+    for ep in range(cfg.epochs):
+        t0 = time.perf_counter()
+        l2_sum = 0.0
+        count = 0
+        for batch in batch_iterator(train_data, cfg.batch_size, rng):
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+            l2_sum += float(metrics["l2_sum"])
+            count += int(metrics["batch"])
+        times.append(time.perf_counter() - t0)
+        train_l2 = l2_sum / max(count, 1)
+        train_l2_hist.append(train_l2)
+
+        test_l2 = None
+        if test_data is not None:
+            tl = 0.0
+            tc = 0
+            for batch in batch_iterator(test_data, cfg.batch_size):
+                tl += float(eval_step(params, batch))
+                tc += jax.tree_util.tree_leaves(batch)[0].shape[0]
+            test_l2 = tl / max(tc, 1)
+            test_l2_hist.append(test_l2)
+        if callback is not None:
+            callback(ep, params, train_l2, test_l2)
+    return FitResult(params, opt_state, train_l2_hist, test_l2_hist, times)
+
+
+def evaluate(task: Task, params, data, batch_size: int = 4) -> float:
+    """Mean decoded rel-L2 over a stacked dataset."""
+    from ..data.datasets import batch_iterator
+
+    eval_step = make_eval_step(task)
+    total, count = 0.0, 0
+    for batch in batch_iterator(data, batch_size, drop_remainder=False):
+        total += float(eval_step(params, batch))
+        count += jax.tree_util.tree_leaves(batch)[0].shape[0]
+    return total / max(count, 1)
+
+
+__all__ = [
+    "TrainConfig", "Task", "make_loss_fn", "make_train_step",
+    "make_eval_step", "fit", "evaluate", "FitResult",
+]

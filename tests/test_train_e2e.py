@@ -1,0 +1,127 @@
+"""End-to-end: data -> graphs -> model -> training converges.
+
+The reference has no tests; its correctness oracle is printed convergence
+plus resolution generalization (SURVEY.md section 4). These tests encode
+that oracle at miniature scale.
+"""
+import numpy as np
+import jax
+import pytest
+
+from graph_pde_tpu.data import (
+    darcy_dataset, prepare_darcy, darcy_gkn_graphs, darcy_mgkn_graphs,
+    burgers_dataset, prepare_burgers, burgers_gkn_graphs,
+    batch_iterator,
+)
+from graph_pde_tpu.models import (
+    GKNConfig, gkn_init, MGKNGeneralConfig, mgkn_general_init,
+)
+from graph_pde_tpu.train import (
+    TrainConfig, GKNTask, MGKNGeneralTask, fit, evaluate,
+    save_checkpoint, restore_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def darcy_fields():
+    return darcy_dataset(24, 16, seed=0)
+
+
+def test_darcy_gkn_dataset_shapes(darcy_fields):
+    arrays, norms = prepare_darcy(darcy_fields, n=16)
+    graphs = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+    assert graphs.x.shape[0] == 16
+    assert graphs.x.shape[2] == 6
+    assert graphs.edge_attr.shape[2] == 6
+    # batching iterator
+    batches = list(batch_iterator(graphs, 4))
+    assert len(batches) == 4
+    assert batches[0].x.shape[0] == 4
+
+
+def test_gkn_darcy_converges(darcy_fields):
+    """Train tiny GKN on s=16 Darcy; train rel-L2 must drop well below the
+    trivial predictor's and test error must follow."""
+    arrays, norms = prepare_darcy(darcy_fields, n=16, u_norm="unit")
+    test_arrays, _ = prepare_darcy(
+        {k: v[16:] for k, v in darcy_fields.items()}, n=8,
+        normalizers=norms, u_normalizer=arrays.u_normalizer)
+    # test u stays un-encoded in the reference; encode for the trainer's
+    # shared loss, decode handles metrics
+    test_arrays.u = np.asarray(arrays.u_normalizer.encode(test_arrays.u))
+
+    train_g = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+    test_g = darcy_gkn_graphs(test_arrays, radius=0.25, seed=1)
+
+    cfg = GKNConfig(width=24, ker_width=48, depth=3, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="l1",
+                   use_sample_idx=False)
+    tc = TrainConfig(epochs=25, batch_size=4, learning_rate=2e-3,
+                     weight_decay=5e-4, scheduler_step=10,
+                     scheduler_gamma=0.7, loss="l1")
+    res = fit(task, params, train_g, tc, test_data=test_g)
+    assert res.train_l2[-1] < 0.5 * res.train_l2[0], res.train_l2
+    assert res.train_l2[-1] < 0.25
+    assert res.test_l2[-1] < 0.6 * res.test_l2[0], res.test_l2
+
+
+def test_gkn_nystrom_with_sample_idx_decode(darcy_fields):
+    arrays, _ = prepare_darcy(darcy_fields, n=8, u_norm="unit")
+    graphs = darcy_gkn_graphs(arrays, m=60, k=2, radius=0.35, seed=0)
+    assert graphs.x.shape[0] == 16  # k=2 graphs per sample
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(1), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="mse")
+    err = evaluate(task, params, graphs, batch_size=4)
+    assert np.isfinite(err)
+
+
+def test_mgkn_general_trains(darcy_fields):
+    arrays, _ = prepare_darcy(darcy_fields, n=8, u_norm="unit")
+    graphs, caps = darcy_mgkn_graphs(
+        arrays, points=(60, 30, 15), radius_inner=(0.3, 0.6, 1.2),
+        radius_inter=(0.15, 0.3), seed=0)
+    cfg = MGKNGeneralConfig(width=16, ker_width=32, depth=2, ker_in=6,
+                            in_width=6, points=(60, 30, 15),
+                            impl="reference")
+    params = mgkn_general_init(jax.random.PRNGKey(2), cfg)
+    task = MGKNGeneralTask(cfg, u_normalizer=arrays.u_normalizer,
+                           loss_type="rel2")
+    tc = TrainConfig(epochs=8, batch_size=4, learning_rate=3e-3,
+                     weight_decay=0.0, scheduler_step=5,
+                     scheduler_gamma=0.8, loss="rel2")
+    res = fit(task, params, graphs, tc)
+    assert res.train_l2[-1] < res.train_l2[0]
+    assert np.isfinite(res.train_l2[-1])
+
+
+def test_burgers_gkn_dataset():
+    fields = burgers_dataset(6, 128, seed=0, gen_res=1024)
+    arrays = prepare_burgers(fields, n=6)
+    graphs = burgers_gkn_graphs(arrays, m=48, radius=0.2, seed=0)
+    assert graphs.x.shape == (6, 48, 2)
+    assert graphs.edge_attr.shape[2] == 4
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=4, in_width=2,
+                    kernel_layers=GKNConfig.kernel_nn3_layers(4, 32, 16),
+                    relu_last=False, decoder_mlp=True, impl="reference")
+    params = gkn_init(jax.random.PRNGKey(3), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="mse")
+    err = evaluate(task, params, graphs)
+    assert np.isfinite(err)
+
+
+def test_checkpoint_roundtrip(tmp_path, darcy_fields):
+    arrays, _ = prepare_darcy(darcy_fields, n=4, u_norm="unit")
+    cfg = GKNConfig(width=8, ker_width=16, depth=1, ker_in=6, in_width=6)
+    params = gkn_init(jax.random.PRNGKey(4), cfg)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 10, params)
+    save_checkpoint(d, 20, params)
+    restored = restore_checkpoint(d)
+    assert restored["step"] == 20
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
