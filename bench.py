@@ -1,0 +1,105 @@
+"""Benchmark: GKN Darcy per-epoch training time (the reference's headline
+perf protocol, multipole-graph-neural-operator/neurips1_GKN.py:168-209).
+
+Protocol (matching neurips1_GKN shapes):
+  100 train samples, m=200 Nystrom nodes/graph, radius 0.2, width 64,
+  ker_width 256, depth 4, Adam. One epoch = 100 graphs.
+
+Reported metric: wall-clock seconds per epoch on this machine's default
+JAX backend (TPU under the driver).
+
+vs_baseline: speedup of the optimized path (batched + best conv impl)
+over a faithful reference-style execution on the SAME hardware
+(batch_size=1, straight XLA gather->MLP->reshape->einsum->scatter path,
+mirroring the PyG per-sample loop). The reference repo publishes no
+numbers (BASELINE.md), so the baseline is re-derived, not copied.
+
+Prints exactly one JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def build_data(n=100, m=200, radius=0.2, seed=0):
+    from graph_pde_tpu.data import (
+        load_or_generate_darcy, prepare_darcy, darcy_gkn_graphs,
+    )
+
+    fields = load_or_generate_darcy(n, 61, seed=seed)
+    arrays, _ = prepare_darcy(fields, n=n)
+    graphs = darcy_gkn_graphs(arrays, m=m, k=1, radius=radius, seed=seed)
+    return arrays, graphs
+
+
+def make_step(cfg, task, lr=1e-4):
+    from graph_pde_tpu.train import make_train_step
+    from graph_pde_tpu.train.optim import adam_steplr
+
+    tx = adam_steplr(lr, weight_decay=5e-4, steps_per_epoch=1)
+    return tx, make_train_step(task, tx)
+
+
+def time_epoch(params, tx, step, graphs, batch_size, n_warmup=1, n_epochs=3):
+    import jax
+    from graph_pde_tpu.data import batch_iterator
+
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(0)
+
+    def one_epoch(params, opt_state):
+        for batch in batch_iterator(graphs, batch_size, rng):
+            params, opt_state, metrics = step(params, opt_state, batch)
+        jax.block_until_ready(metrics["loss"])
+        return params, opt_state
+
+    for _ in range(n_warmup):
+        params, opt_state = one_epoch(params, opt_state)
+    times = []
+    for _ in range(n_epochs):
+        t0 = time.perf_counter()
+        params, opt_state = one_epoch(params, opt_state)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    import jax
+    from graph_pde_tpu.models import GKNConfig, gkn_init
+    from graph_pde_tpu.train import GKNTask
+
+    arrays, graphs = build_data()
+
+    kernel_layers = GKNConfig.kernel_nn3_layers(6, 256, 64)
+
+    # optimized: batched, auto conv impl
+    cfg_opt = GKNConfig(width=64, ker_width=256, depth=4, ker_in=6,
+                        in_width=6, kernel_layers=kernel_layers,
+                        relu_last=False, impl="auto")
+    params = gkn_init(jax.random.PRNGKey(0), cfg_opt)
+    task = GKNTask(cfg_opt, u_normalizer=arrays.u_normalizer,
+                   loss_type="mse")
+    tx, step = make_step(cfg_opt, task)
+    t_opt = time_epoch(params, tx, step, graphs, batch_size=20)
+
+    # reference-style: batch 1, straight XLA path
+    cfg_ref = GKNConfig(width=64, ker_width=256, depth=4, ker_in=6,
+                        in_width=6, kernel_layers=kernel_layers,
+                        relu_last=False, impl="reference")
+    task_ref = GKNTask(cfg_ref, u_normalizer=arrays.u_normalizer,
+                       loss_type="mse")
+    tx_r, step_r = make_step(cfg_ref, task_ref)
+    t_ref = time_epoch(params, tx_r, step_r, graphs, batch_size=1,
+                       n_warmup=1, n_epochs=1)
+
+    print(json.dumps({
+        "metric": "gkn_darcy_epoch_time_s",
+        "value": round(t_opt, 4),
+        "unit": "s",
+        "vs_baseline": round(t_ref / t_opt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from .mesh import make_mesh, default_mesh_shape
+from .sharding import (
+    batch_spec,
+    batch_sharding,
+    param_specs,
+    param_sharding,
+    replicated_sharding,
+)
+from .halo import partition_graph, gkn_apply_node_sharded
+
+__all__ = [
+    "make_mesh", "default_mesh_shape",
+    "batch_spec", "batch_sharding", "param_specs", "param_sharding",
+    "replicated_sharding",
+    "partition_graph", "gkn_apply_node_sharded",
+]

@@ -1,0 +1,99 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: DP+TP train step parity
+and node-sharded (halo) execution parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_pde_tpu.data import darcy_dataset, prepare_darcy, darcy_gkn_graphs
+from graph_pde_tpu.models import GKNConfig, gkn_init, gkn_apply
+from graph_pde_tpu.parallel import (
+    make_mesh, batch_sharding, param_sharding, replicated_sharding,
+    partition_graph, gkn_apply_node_sharded,
+)
+from graph_pde_tpu.train import GKNTask, TrainConfig, make_train_step
+from graph_pde_tpu.train.optim import adam_steplr
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fields = darcy_dataset(8, 16, seed=0)
+    arrays, _ = prepare_darcy(fields, n=8)
+    graphs = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    return arrays, graphs, cfg, params
+
+
+def test_dp_train_step_matches_single_device(setup):
+    arrays, graphs, cfg, params = setup
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="l1",
+                   use_sample_idx=False)
+    tx = adam_steplr(1e-3, weight_decay=5e-4, steps_per_epoch=1)
+    step = make_train_step(task, tx)
+
+    # single device
+    p1, o1, m1 = step(params, tx.init(params), graphs)
+
+    # 8-way data parallel: shard the batch, replicate params
+    mesh = make_mesh((8, 1))
+    g_sh = jax.device_put(graphs, batch_sharding(mesh, graphs))
+    p_sh = jax.device_put(params, replicated_sharding(mesh, params))
+    o_sh = jax.device_put(tx.init(params),
+                          replicated_sharding(mesh, tx.init(params)))
+    p2, o2, m2 = step(p_sh, o_sh, g_sh)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_forward_matches_replicated(setup):
+    arrays, graphs, cfg, params = setup
+    mesh = make_mesh((4, 2))
+    # TP-shard the kernel MLP over 'model'
+    p_tp = jax.device_put(params, param_sharding(mesh, params))
+    g_sh = jax.device_put(graphs, batch_sharding(mesh, graphs))
+
+    fwd = jax.jit(jax.vmap(lambda g: gkn_apply(params, cfg, g)))
+    out_ref = fwd(graphs)
+    fwd_tp = jax.jit(jax.vmap(lambda g: gkn_apply(p_tp, cfg, g)))
+    out_tp = fwd_tp(g_sh)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_node_sharded_forward_matches_single(setup):
+    arrays, graphs, cfg, params = setup
+    # take the first graph, unbatched
+    g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
+    ref = gkn_apply(params, cfg, g0)
+
+    mesh = make_mesh((8,), axis_names=("data",))
+    parts = partition_graph(g0, 8)
+    out = gkn_apply_node_sharded(params, cfg, parts, mesh, axis="data")
+    # node-sharded layout re-pads N; compare on valid nodes
+    n = int(g0.n_node)
+    nmask = parts["node_mask"].reshape(-1)
+    np.testing.assert_allclose(np.asarray(out)[nmask][:n],
+                               np.asarray(ref)[:n], rtol=1e-4, atol=1e-5)
+
+
+def test_node_sharded_grads_flow(setup):
+    arrays, graphs, cfg, params = setup
+    g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
+    mesh = make_mesh((8,), axis_names=("data",))
+    parts = partition_graph(g0, 8)
+
+    def loss(p):
+        out = gkn_apply_node_sharded(p, cfg, parts, mesh, axis="data")
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
