@@ -96,7 +96,8 @@ def edge_kernel_conv(
     assert kernel_type in ("full", "diag")
 
     if impl == "auto":
-        impl = _pick_impl(e, in_channels, out_channels, kernel_type)
+        impl = _pick_impl(e, in_channels, out_channels, kernel_type,
+                          kernel_params)
 
     if impl == "pallas":
         from .pallas_edge_conv import fused_edge_messages
@@ -127,15 +128,17 @@ def edge_kernel_conv(
     return out
 
 
-def _pick_impl(e, in_channels, out_channels, kernel_type):
+def _pick_impl(e, in_channels, out_channels, kernel_type, kernel_params):
     if kernel_type != "full":
         return "reference"
+    if jax.default_backend() == "tpu":
+        from .pallas_edge_conv import fused_path_supported
+
+        if fused_path_supported(kernel_params, in_channels, out_channels):
+            return "pallas"
     elems = e * in_channels * out_channels
     if elems <= _REFERENCE_MAX_KERNEL_ELEMS:
         return "reference"
-    backend = jax.default_backend()
-    if backend == "tpu":
-        return "pallas"
     return "scan"
 
 
