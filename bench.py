@@ -22,6 +22,16 @@ import time
 import numpy as np
 
 
+def _setup_jax_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_setup_jax_cache()
+
+
 def build_data(n=100, m=200, radius=0.2, seed=0):
     from graph_pde_tpu.data import (
         load_or_generate_darcy, prepare_darcy, darcy_gkn_graphs,
@@ -42,7 +52,7 @@ def make_step(cfg, task, lr=1e-4):
 
 
 def time_epoch(params, tx, step, graphs, batch_size, n_warmup=1, n_epochs=3):
-    import jax
+    """Per-step dispatch loop (reference-style execution)."""
     from graph_pde_tpu.data import batch_iterator
 
     opt_state = tx.init(params)
@@ -51,7 +61,10 @@ def time_epoch(params, tx, step, graphs, batch_size, n_warmup=1, n_epochs=3):
     def one_epoch(params, opt_state):
         for batch in batch_iterator(graphs, batch_size, rng):
             params, opt_state, metrics = step(params, opt_state, batch)
-        jax.block_until_ready(metrics["loss"])
+        # float() forces execution of the whole dependency chain —
+        # block_until_ready alone does not synchronize on tunneled
+        # backends
+        float(metrics["loss"])
         return params, opt_state
 
     for _ in range(n_warmup):
@@ -60,6 +73,31 @@ def time_epoch(params, tx, step, graphs, batch_size, n_warmup=1, n_epochs=3):
     for _ in range(n_epochs):
         t0 = time.perf_counter()
         params, opt_state = one_epoch(params, opt_state)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def time_epoch_scanned(params, task, graphs, batch_size, lr=1e-4,
+                       n_warmup=1, n_epochs=3):
+    """Whole-epoch-in-one-jit execution (the optimized path)."""
+    import jax.numpy as jnp
+    from graph_pde_tpu.train.trainer import make_epoch_fn, stack_epoch
+    from graph_pde_tpu.train.optim import adam_steplr
+
+    tx = adam_steplr(lr, weight_decay=5e-4, steps_per_epoch=1)
+    opt_state = tx.init(params)
+    epoch_fn = make_epoch_fn(task, tx)
+    rng = np.random.default_rng(0)
+    batches = stack_epoch(graphs, batch_size, rng)
+
+    for _ in range(n_warmup):
+        params, opt_state, loss, l2 = epoch_fn(params, opt_state, batches)
+        float(loss)
+    times = []
+    for _ in range(n_epochs):
+        t0 = time.perf_counter()
+        params, opt_state, loss, l2 = epoch_fn(params, opt_state, batches)
+        float(loss)
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -80,8 +118,7 @@ def main():
     params = gkn_init(jax.random.PRNGKey(0), cfg_opt)
     task = GKNTask(cfg_opt, u_normalizer=arrays.u_normalizer,
                    loss_type="mse")
-    tx, step = make_step(cfg_opt, task)
-    t_opt = time_epoch(params, tx, step, graphs, batch_size=20)
+    t_opt = time_epoch_scanned(params, task, graphs, batch_size=20)
 
     # reference-style: batch 1, straight XLA path
     cfg_ref = GKNConfig(width=64, ker_width=256, depth=4, ker_in=6,

@@ -31,6 +31,12 @@ from .lattice import (
     multi_grid,
 )
 from .multipole import multi_pole_grid1d, get_edge_attr, multipole_levels_1d
+from .splitters import (
+    RandomGridSplitter,
+    RandomMultiMeshSplitter,
+    DownsampleGridSplitter,
+    TorusGridSplitter,
+)
 
 __all__ = [
     "Graph", "MultiLevelGraph", "build_graph", "build_multilevel_graph",
@@ -42,4 +48,6 @@ __all__ = [
     "simple_grid", "grid_edge", "grid_edge1d", "grid_edge_aug",
     "grid_edge_aug_full", "downsample_field", "multi_grid",
     "multi_pole_grid1d", "get_edge_attr", "multipole_levels_1d",
+    "RandomGridSplitter", "RandomMultiMeshSplitter",
+    "DownsampleGridSplitter", "TorusGridSplitter",
 ]

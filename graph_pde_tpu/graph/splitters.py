@@ -1,0 +1,403 @@
+"""Split/assemble: full-resolution evaluation under memory limits.
+
+The reference's L4 layer (SURVEY.md): cover the full grid with subgraphs,
+predict each independently, stitch the predictions back. Four splitters:
+
+- ``RandomGridSplitter`` (mp/utilities.py:715-782): l random disjoint
+  partitions into n/m subgraphs; assemble averages the l repetitions.
+- ``RandomMultiMeshSplitter`` (mp/utilities.py:786-1007): walks one fixed
+  permutation in windows (with wraparound) so the union of splits covers
+  every node; builds the full multilevel graph per split.
+- ``DownsampleGridSplitter`` (mp/utilities.py:1010-1151): strided
+  (x::r, y::r) shards covering the grid deterministically, padded with
+  random extra nodes; assemble re-interleaves and Gaussian-smooths.
+- ``TorusGridSplitter`` (mp/utilities.py:1153-1438): periodic-metric
+  variant with time-series (sampleT/assembleT) support and wrap-mode
+  smoothing.
+
+These builders emit padded ``Graph``/``MultiLevelGraph`` pytrees ready to
+stack; assembly is host numpy + the jnp gaussian filter.
+
+Known reference divergences (documented, intended semantics implemented):
+- the reference's torus metric degenerates to euclidean due to in-place
+  aliasing (see graph/build.py); we use the true periodic metric.
+- GKN's RandomGridSplitter.assemble overwrites instead of accumulating
+  (g-n-o/utilities.py:485-502); we follow the multipole version, which
+  accumulates and averages.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import build
+from .graph import Graph, build_graph, build_multilevel_graph, round_up
+from .mesh import make_box_grid
+
+
+class RandomGridSplitter:
+    def __init__(self, grid: np.ndarray, resolution: int, d: int = 2,
+                 m: int = 200, l: int = 1, radius: float = 0.25,
+                 seed: Optional[int] = None):
+        self.grid = np.asarray(grid).reshape(resolution ** d, -1)
+        self.resolution = resolution
+        self.n = resolution ** d
+        self.d = d
+        self.m = m
+        self.l = l
+        self.radius = radius
+        self.rng = np.random.default_rng(seed)
+        assert self.n % self.m == 0
+        self.num = self.n // self.m
+
+    def get_data(self, theta: np.ndarray, edge_features: int = 1,
+                 edge_multiple: int = 512) -> List[Graph]:
+        theta = np.asarray(theta).reshape(self.n, -1)
+        raw = []
+        for _ in range(self.l):
+            perm = self.rng.permutation(self.n).reshape(self.num, self.m)
+            for j in range(self.num):
+                idx = perm[j]
+                grid_sample = self.grid[idx]
+                theta_sample = theta[idx]
+                x = np.concatenate([grid_sample, theta_sample], axis=1)
+                ei = build.radius_connectivity(grid_sample, self.radius)
+                if edge_features == 0:
+                    attr = build.edge_attributes(grid_sample, ei)
+                else:
+                    attr = build.edge_attributes(grid_sample, ei,
+                                                 theta=theta_sample[:, 0])
+                raw.append((x, ei, attr, idx))
+        e_pad = round_up(max(r[1].shape[1] for r in raw), edge_multiple)
+        return [
+            build_graph(x, ei[0], ei[1], attr, sample_idx=idx,
+                        n_node_pad=round_up(self.m, 8), n_edge_pad=e_pad)
+            for (x, ei, attr, idx) in raw
+        ]
+
+    def assemble(self, preds: Sequence[np.ndarray],
+                 split_idx: Sequence[np.ndarray]) -> np.ndarray:
+        """preds[i]: [m] predictions on shard i (valid nodes only);
+        split_idx[i]: [m] their grid indices. Averages the l repetitions
+        (mp/utilities.py:763-782)."""
+        assert len(preds) == len(split_idx) == self.num * self.l
+        out = np.zeros(self.n, np.float64)
+        for p, idx in zip(preds, split_idx):
+            out[np.asarray(idx).reshape(-1)] += np.asarray(p).reshape(-1)
+        return (out / self.l).astype(np.float32)
+
+
+class RandomMultiMeshSplitter:
+    def __init__(self, real_space, mesh_size, level: int,
+                 sample_sizes: Sequence[int], seed: Optional[int] = None):
+        self.d = len(real_space)
+        self.ms = list(sample_sizes)
+        self.m = sample_sizes[0]
+        self.level = level
+        assert len(sample_sizes) == level
+        self.grid = make_box_grid(real_space, mesh_size)
+        self.n = self.grid.shape[0]
+        self.rng = np.random.default_rng(seed)
+        self.splits = self.n // self.m
+        if self.splits * self.m < self.n:
+            self.splits += 1
+        self.perm = None
+
+    def sample(self, new_sample: bool = True, index0: int = 0):
+        if new_sample or self.perm is None:
+            self.perm = self.rng.permutation(self.n)
+        idx = []
+        index = index0
+        index_end = index0
+        for l in range(self.level):
+            index = index % self.n
+            index_end = (index + self.ms[l]) % self.n
+            if index < index_end:
+                ids = self.perm[index:index_end]
+            else:
+                ids = np.concatenate(
+                    [self.perm[index:], self.perm[:index_end]])
+            idx.append(ids)
+            index = index_end
+        if index0 < index_end:
+            idx_all = self.perm[index0:index_end]
+        else:
+            idx_all = np.concatenate(
+                [self.perm[index0:], self.perm[:index_end]])
+        return idx, idx_all
+
+    def splitter(self, radius_inner, radius_inter, theta_a: np.ndarray,
+                 theta_all: np.ndarray,
+                 caps: Optional[tuple] = None,
+                 edge_multiple: int = 256):
+        """One test sample -> list of MultiLevelGraph covering the grid
+        (mp/utilities.py:976-997). theta_a: [n] scalar field for edge
+        attrs; theta_all: [n, k] node features appended to coordinates."""
+        theta_a = np.asarray(theta_a).reshape(self.n)
+        theta_all = np.asarray(theta_all).reshape(self.n, -1)
+        raw = []
+        index = 0
+        for i in range(self.splits):
+            idx, idx_all = self.sample(new_sample=(i == 0), index0=index)
+            index = (index + self.m) % self.n
+            grids = [self.grid[ids] for ids in idx]
+            grid_all = self.grid[idx_all]
+
+            mid_e, mid_a = [], []
+            off = 0
+            for l in range(self.level):
+                ei = build.radius_connectivity(grids[l], radius_inner[l])
+                mid_e.append(ei + off)
+                mid_a.append(build.edge_attributes(
+                    grid_all, ei + off, theta=theta_a[idx_all]))
+                off += grids[l].shape[0]
+            down_e, down_a, up_e, up_a = [], [], [], []
+            off = 0
+            for l in range(self.level - 1):
+                ei = build.radius_connectivity(
+                    grids[l], radius_inter[l], points_b=grids[l + 1])
+                ei = ei + off
+                ei[1] += grids[l].shape[0]
+                down_e.append(ei)
+                up_e.append(ei[[1, 0]])
+                down_a.append(build.edge_attributes(
+                    grid_all, ei, theta=theta_a[idx_all]))
+                up_a.append(build.edge_attributes(
+                    grid_all, ei[[1, 0]], theta=theta_a[idx_all]))
+                off += grids[l].shape[0]
+
+            x = np.concatenate([grid_all, theta_all[idx_all]], axis=1)
+            raw.append((x, mid_e, mid_a, down_e, down_a, up_e, up_a,
+                        idx[0]))
+
+        if caps is None:
+            mid_caps = tuple(
+                round_up(max(r[1][l].shape[1] for r in raw), edge_multiple)
+                for l in range(self.level))
+            down_caps = tuple(
+                round_up(max(r[3][l].shape[1] for r in raw), edge_multiple)
+                for l in range(self.level - 1))
+            caps = (mid_caps, down_caps, down_caps)
+        graphs = [
+            build_multilevel_graph(
+                x, self.ms, mid_e, mid_a, down_e, down_a, up_e, up_a,
+                sample_idx=si, mid_caps=caps[0], down_caps=caps[1],
+                up_caps=caps[2])
+            for (x, mid_e, mid_a, down_e, down_a, up_e, up_a, si) in raw
+        ]
+        return graphs, caps
+
+    def assembler(self, out_list: Sequence[np.ndarray],
+                  sample_idx_list: Sequence[np.ndarray]) -> np.ndarray:
+        """Scatter split predictions onto the full grid
+        (mp/utilities.py:999-1007)."""
+        assert len(out_list) == self.splits
+        pred = np.zeros(self.n, np.float32)
+        for out, idx in zip(out_list, sample_idx_list):
+            pred[np.asarray(idx).reshape(-1)] = np.asarray(out).reshape(-1)
+        return pred
+
+
+class DownsampleGridSplitter:
+    def __init__(self, grid: np.ndarray, resolution: int, r: int,
+                 m: int = 100, radius: float = 0.15,
+                 edge_features: int = 1, seed: Optional[int] = None):
+        self.grid = np.asarray(grid).reshape(resolution, resolution, 2)
+        self.resolution = resolution
+        self.s = (int((resolution - 1) / r) + 1 if resolution % 2 == 1
+                  else int(resolution / r))
+        self.r = r
+        self.n = resolution ** 2
+        self.m = m
+        self.radius = radius
+        self.edge_features = edge_features
+        self.rng = np.random.default_rng(seed)
+        self.index = np.arange(self.n).reshape(resolution, resolution)
+
+    def _connectivity(self, grid_split):
+        ei = build.radius_connectivity(grid_split, self.radius)
+        return ei
+
+    def _attrs(self, grid_split, theta_split, ei):
+        n_edges = ei.shape[1]
+        a = theta_split[:, : self.edge_features]
+        attr = np.zeros((n_edges, 4 + 2 * self.edge_features), np.float32)
+        attr[:, :4] = np.concatenate(
+            [grid_split[ei[0]], grid_split[ei[1]]], axis=1)
+        attr[:, 4:4 + self.edge_features] = a[ei[0]]
+        attr[:, 4 + self.edge_features:] = a[ei[1]]
+        return attr
+
+    def _shard(self, theta, x, y):
+        theta_d = theta.shape[-1]
+        grid_sub = self.grid[x::self.r, y::self.r].reshape(-1, 2)
+        theta_sub = theta[x::self.r, y::self.r].reshape(-1, theta_d)
+        index_sub = self.index[x::self.r, y::self.r].reshape(-1)
+        n_sub = grid_sub.shape[0]
+        if self.m >= n_sub:
+            extra = self.m - n_sub
+            idx = self.rng.permutation(self.n)[:extra]
+            grid_split = np.concatenate(
+                [grid_sub, self.grid.reshape(self.n, -1)[idx]])
+            theta_split = np.concatenate(
+                [theta_sub, theta.reshape(self.n, -1)[idx]])
+            index_split = np.concatenate([index_sub, idx])
+        else:
+            grid_split, theta_split, index_split = (grid_sub, theta_sub,
+                                                    index_sub)
+        return grid_split, theta_split, index_split, n_sub
+
+    def get_data(self, theta: np.ndarray,
+                 edge_multiple: int = 512) -> List[Graph]:
+        """All r^2 deterministic shards (test side, mp:1038-1069)."""
+        theta = np.asarray(theta).reshape(self.resolution, self.resolution,
+                                          -1)
+        raw = []
+        for x in range(self.r):
+            for y in range(self.r):
+                gs, ts, idx, n_sub = self._shard(theta, x, y)
+                ei = self._connectivity(gs)
+                attr = self._attrs(gs, ts, ei)
+                X = np.concatenate([gs, ts], axis=1)
+                raw.append((X, ei, attr, idx, (x, y)))
+        e_pad = round_up(max(r_[1].shape[1] for r_ in raw), edge_multiple)
+        n_pad = round_up(max(r_[0].shape[0] for r_ in raw), 8)
+        out = []
+        for (X, ei, attr, idx, xy) in raw:
+            g = build_graph(X, ei[0], ei[1], attr, sample_idx=idx,
+                            n_node_pad=n_pad, n_edge_pad=e_pad)
+            out.append((g, xy))
+        return out
+
+    def sample(self, theta: np.ndarray, Y: np.ndarray,
+               n_edge_pad: Optional[int] = None,
+               edge_multiple: int = 512):
+        """One random training shard with labels (mp:1071-1119)."""
+        theta = np.asarray(theta).reshape(self.resolution, self.resolution,
+                                          -1)
+        Y = np.asarray(Y).reshape(self.resolution, self.resolution)
+        x = int(self.rng.integers(0, self.r))
+        y = int(self.rng.integers(0, self.r))
+        gs, ts, idx, n_sub = self._shard(theta, x, y)
+        ei = self._connectivity(gs)
+        attr = self._attrs(gs, ts, ei)
+        X = np.concatenate([gs, ts], axis=1)
+        y_split = Y.reshape(-1)[idx]
+        e_pad = n_edge_pad or round_up(ei.shape[1], edge_multiple)
+        g = build_graph(X, ei[0], ei[1], attr, y=y_split, sample_idx=idx,
+                        n_node_pad=round_up(X.shape[0], 8), n_edge_pad=e_pad)
+        return g, (x, y)
+
+    def assemble(self, preds: Sequence[np.ndarray],
+                 split_xy: Sequence[Tuple[int, int]],
+                 sigma: float = 1.0) -> np.ndarray:
+        """Re-interleave shard predictions + Gaussian smoothing
+        (mp:1122-1150). preds[i]: [m] (valid prefix = the shard nodes)."""
+        out = np.zeros((self.resolution, self.resolution), np.float32)
+        for p, (x, y) in zip(preds, split_xy):
+            p = np.asarray(p).reshape(-1)
+            if self.resolution % 2 == 1:
+                nx = self.s if x == 0 else self.s - 1
+                ny = self.s if y == 0 else self.s - 1
+            else:
+                nx = ny = self.s
+            out[x::self.r, y::self.r] = p[: nx * ny].reshape(nx, ny)
+        from ..utils.filters import gaussian_filter
+
+        out = np.asarray(gaussian_filter(out, sigma=sigma, mode="constant"))
+        return out.reshape(-1)
+
+
+class TorusGridSplitter(DownsampleGridSplitter):
+    """Periodic-domain variant (mp:1153-1438): torus metric edges with
+    periodic-difference edge attrs, wrap-mode smoothing, and time-series
+    (T-step) sampling."""
+
+    def __init__(self, grid, resolution, r, m=100, radius=0.15, T=None,
+                 edge_features=1, seed=None):
+        super().__init__(grid, resolution, r, m=m, radius=radius,
+                         edge_features=edge_features, seed=seed)
+        self.T = T
+
+    def _connectivity(self, grid_split):
+        ei, dist, xd, yd = build.torus2d_connectivity(grid_split,
+                                                      self.radius)
+        self._last_edge_geo = (dist, xd, yd)
+        return ei
+
+    def _attrs(self, grid_split, theta_split, ei):
+        dist, xd, yd = self._last_edge_geo
+        n_edges = ei.shape[1]
+        a = theta_split[:, : self.edge_features]
+        attr = np.zeros((n_edges, 3 + 2 * self.edge_features), np.float32)
+        attr[:, 0] = xd
+        attr[:, 1] = yd
+        attr[:, 2] = dist
+        attr[:, 3:3 + self.edge_features] = a[ei[0]]
+        attr[:, 3 + self.edge_features:] = a[ei[1]]
+        return attr
+
+    def sampleT(self, theta: np.ndarray, Y: np.ndarray,
+                n_edge_pad: Optional[int] = None,
+                edge_multiple: int = 512):
+        """Training shard with T-step targets (mp:1321-1375). Y: [T, n].
+        Returns (Graph with y [m, T], (x, y))."""
+        assert self.T is not None
+        theta = np.asarray(theta).reshape(self.resolution, self.resolution,
+                                          -1)
+        Y = np.asarray(Y).reshape(self.T, self.n)
+        x = int(self.rng.integers(0, self.r))
+        y = int(self.rng.integers(0, self.r))
+        gs, ts, idx, n_sub = self._shard(theta, x, y)
+        ei = self._connectivity(gs)
+        attr = self._attrs(gs, ts, ei)
+        X = np.concatenate([gs, ts], axis=1)
+        y_split = Y[:, idx].T  # [m, T]
+        e_pad = n_edge_pad or round_up(ei.shape[1], edge_multiple)
+        g = build_graph(X, ei[0], ei[1], attr, y=y_split, sample_idx=idx,
+                        n_node_pad=round_up(X.shape[0], 8), n_edge_pad=e_pad)
+        return g, (x, y)
+
+    def assemble(self, preds, split_xy, sigma: float = 1.0) -> np.ndarray:
+        out = np.zeros((self.resolution, self.resolution), np.float32)
+        for p, (x, y) in zip(preds, split_xy):
+            p = np.asarray(p).reshape(-1)
+            if self.resolution % 2 == 1:
+                nx = self.s if x == 0 else self.s - 1
+                ny = self.s if y == 0 else self.s - 1
+            else:
+                nx = ny = self.s
+            out[x::self.r, y::self.r] = p[: nx * ny].reshape(nx, ny)
+        from ..utils.filters import gaussian_filter
+
+        out = np.asarray(gaussian_filter(out, sigma=sigma, mode="wrap"))
+        return out.reshape(-1)
+
+    def assembleT(self, preds, split_xy, sigma: float = 1.0) -> np.ndarray:
+        """preds[i]: [m, T] shard predictions; returns [T, n]
+        (mp:1407-1438)."""
+        assert self.T is not None
+        out = np.zeros((self.T, self.resolution, self.resolution),
+                       np.float32)
+        for p, (x, y) in zip(preds, split_xy):
+            p = np.asarray(p)  # [m, T]
+            if self.resolution % 2 == 1:
+                nx = self.s if x == 0 else self.s - 1
+                ny = self.s if y == 0 else self.s - 1
+            else:
+                nx = ny = self.s
+            out[:, x::self.r, y::self.r] = (
+                p[: nx * ny].T.reshape(self.T, nx, ny))
+        from ..utils.filters import gaussian_filter
+
+        out = np.asarray(gaussian_filter(out, sigma=sigma, mode="wrap"))
+        return out.reshape(self.T, self.n)
+
+
+__all__ = [
+    "RandomGridSplitter",
+    "RandomMultiMeshSplitter",
+    "DownsampleGridSplitter",
+    "TorusGridSplitter",
+]

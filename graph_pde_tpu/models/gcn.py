@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..graph.graph import Graph
 from ..ops.dense import linear_init
-from ..ops.segment import masked_segment_sum, segment_degrees
+from ..ops.segment import masked_segment_sum, segment_degrees, gather_rows
 
 
 def gcn_conv(x, senders, receivers, edge_mask, layer, n_node):
@@ -27,7 +27,7 @@ def gcn_conv(x, senders, receivers, edge_mask, layer, n_node):
     deg = segment_degrees(receivers, edge_mask, n) + 1.0  # +1 self loop
     inv_sqrt = jax.lax.rsqrt(deg)
     # mask out padded nodes' degree terms cleanly (deg>=1 always, no NaN)
-    msg = xw[senders] * (inv_sqrt[senders] * edge_mask)[:, None]
+    msg = gather_rows(xw, senders) * (inv_sqrt[senders] * edge_mask)[:, None]
     agg = masked_segment_sum(msg, receivers, edge_mask, n)
     out = inv_sqrt[:, None] * agg + (1.0 / deg)[:, None] * xw
     return out + layer["b"]

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .dense import dense_apply
-from .segment import masked_segment_mean, masked_segment_sum
+from .segment import masked_segment_mean, masked_segment_sum, gather_rows
 
 _REFERENCE_MAX_KERNEL_ELEMS = 64 * 1024 * 1024  # E * w_in * w_out threshold
 
@@ -111,7 +111,7 @@ def edge_kernel_conv(
                              in_channels, out_channels, chunk_size,
                              compute_dtype)
     else:
-        x_src = x[senders]
+        x_src = gather_rows(x, senders)
         msg = _kernel_messages(x_src, edge_attr, kernel_params, in_channels,
                                out_channels, kernel_type, compute_dtype)
 
@@ -155,7 +155,7 @@ def _scan_messages(x, senders, edge_attr, kernel_params, in_channels,
 
     def body(args):
         s_c, a_c = args
-        return _kernel_messages(x[s_c], a_c, kernel_params, in_channels,
+        return _kernel_messages(gather_rows(x, s_c), a_c, kernel_params, in_channels,
                                 out_channels, "full", compute_dtype)
 
     msg = jax.lax.map(body, (s, a))
@@ -186,7 +186,7 @@ def edge_conv_gaussian(
     a = 1.0 / jnp.sqrt(jnp.abs(edge_attr[:, 1] * edge_attr[:, 2]) + 1e-12)
     b = jnp.exp(-(edge_attr[:, 0:1] ** 2) / (ell[None, :] ** 2))
     weight = a[:, None] * b  # [E, w]
-    msg = x[senders] * weight
+    msg = gather_rows(x, senders) * weight
     if aggr == "mean":
         out = masked_segment_mean(msg, receivers, edge_mask, n)
     else:

@@ -16,16 +16,25 @@ shape cast"), so the contraction is expressed with binary selector
 matrices built from iota:
     Xrep = x @ P           P[i, c]  = (c // w_out == i)   (x broadcast)
     msg  = (K * Xrep) @ QT QT[c, o] = (c %  w_out == o)   (strided sum)
+and the tiled pattern Grep[e, c] = g[e, c % w_out] via lane concatenation
+(Mosaic-supported, unlike reshape).
 
 The LAST MLP layer (the [ker_width, w_in*w_out] GEMM, >90% of FLOPs and
-bytes) is streamed in column chunks of size C_CHUNK: the forward grid is
+bytes) is streamed in column chunks: the forward grid is
 (E_blocks, n_chunks) with messages accumulated across chunks and the small
-layers' activations held in scratch; the backward runs a second kernel on
-the transposed grid (n_chunks, E_blocks) accumulating dW chunks across
-edge blocks and emitting per-chunk dx / dh slabs that XLA sums. Small
-layers are recomputed and backpropped in XLA (they are [E, ker_width]-
-sized — cheap). This supports every reference kernel width (256..1024+)
-with large, MXU-shaped blocks.
+layers' activations held in scratch. The backward splits into two
+slab-free kernels on opposite grid orders:
+  - dx/dh kernel, grid (E_blocks, n_chunks): dx and dh2 accumulate across
+    contiguous chunk steps into revisited output blocks;
+  - dW/db kernel, grid (n_chunks, E_blocks): weight-gradient chunks
+    accumulate across contiguous edge-block steps.
+Small layers are recomputed and backpropped in XLA (they are
+[E, ker_width]-sized — cheap). This supports every reference kernel width
+(256..1024+) with large, MXU-shaped blocks.
+
+compute_dtype='bfloat16' casts GEMM operands to bf16 (f32 accumulation via
+preferred_element_type) — the same precision XLA's default TPU matmul
+already uses, but with halved VMEM/VPU traffic inside the kernels.
 """
 from __future__ import annotations
 
@@ -39,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEFAULT_BLOCK_E = 256
+DEFAULT_BLOCK_E = 512
 C_CHUNK = 1024
 
 
@@ -53,9 +62,6 @@ def fused_path_supported(kernel_params, in_channels: int,
     c = in_channels * out_channels
     if dims[-1][1] != c:
         return False
-    if c % out_channels != 0:
-        return False
-    # chunking needs the last dim divisible into out-channel-aligned chunks
     chunk = min(C_CHUNK, c)
     if c % chunk != 0 or chunk % out_channels != 0:
         return False
@@ -65,7 +71,8 @@ def fused_path_supported(kernel_params, in_channels: int,
     return True
 
 
-def _sel_p(in_channels, out_channels, c0, chunk, transpose=False):
+def _sel_p(in_channels, out_channels, c0, chunk, dtype,
+           transpose=False):
     """P[i, cc] = ((c0 + cc) // out_channels == i)."""
     if transpose:
         cc = jax.lax.broadcasted_iota(jnp.int32, (chunk, in_channels), 0)
@@ -73,38 +80,50 @@ def _sel_p(in_channels, out_channels, c0, chunk, transpose=False):
     else:
         cc = jax.lax.broadcasted_iota(jnp.int32, (in_channels, chunk), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (in_channels, chunk), 0)
-    return ((c0 + cc) // out_channels == rows).astype(jnp.float32)
+    return ((c0 + cc) // out_channels == rows).astype(dtype)
 
 
-def _sel_qt(out_channels, chunk):
-    """QT[cc, o] = (cc % out_channels == o); chunk is out-aligned so the
+def _sel_qt(out_channels, chunk, dtype):
+    """QT[cc, o] = (cc % out_channels == o); chunks are out-aligned so the
     pattern is chunk-offset independent."""
     cc = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 1)
-    return (cc % out_channels == cols).astype(jnp.float32)
+    return (cc % out_channels == cols).astype(dtype)
 
 
 def _tile_lanes(g, n):
-    """[blk, out] -> [blk, out*n] tiled pattern (lane concat — supported
-    by Mosaic, unlike reshapes)."""
+    """[blk, out] -> [blk, out*n] tiled pattern via lane concat."""
     if n == 1:
         return g
     return jnp.concatenate([g] * n, axis=1)
 
 
-def _small_forward(attr, wb_small, n_small):
+def _dot(a, b, dtype):
+    if dtype is not None:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_general(a, b, dims, dtype):
+    if dtype is not None:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _small_forward(attr, wb_small, n_small, dtype):
     h = attr
     for l in range(n_small):
-        h = jnp.dot(h, wb_small[2 * l][:],
-                    preferred_element_type=jnp.float32) + wb_small[2 * l + 1][:]
-        h = jnp.maximum(h, 0.0)  # small layers are always followed by relu
+        h = _dot(h, wb_small[2 * l][:], dtype) + wb_small[2 * l + 1][:]
+        h = jnp.maximum(h, 0.0)
     return h
 
 
 # --------------------------------------------------------------- forward
 
-def _fwd_kernel(in_channels, out_channels, n_small, chunk, *refs):
-    # inputs: x, attr, small wb..., wL_chunk, bL_chunk ; out: msg ; scratch: h
+def _fwd_kernel(in_channels, out_channels, n_small, chunk, dtype, *refs):
     x_ref, a_ref = refs[0], refs[1]
     wb_small = refs[2: 2 + 2 * n_small]
     wl_ref = refs[2 + 2 * n_small]
@@ -116,50 +135,63 @@ def _fwd_kernel(in_channels, out_channels, n_small, chunk, *refs):
 
     @pl.when(ci == 0)
     def _():
-        h_scr[:] = _small_forward(a_ref[:], wb_small, n_small)
+        h_scr[:] = _small_forward(a_ref[:], wb_small, n_small, dtype)
         msg_ref[:] = jnp.zeros_like(msg_ref)
 
-    h3c = jnp.dot(h_scr[:], wl_ref[:],
-                  preferred_element_type=jnp.float32) + bl_ref[:]
+    h3c = _dot(h_scr[:], wl_ref[:], dtype) + bl_ref[:]
     c0 = ci * chunk
-    xrep = jnp.dot(x_ref[:], _sel_p(in_channels, out_channels, c0, chunk),
-                   preferred_element_type=jnp.float32)
-    msg_ref[:] += jnp.dot(h3c * xrep, _sel_qt(out_channels, chunk),
-                          preferred_element_type=jnp.float32)
+    sel_dtype = dtype or jnp.float32
+    xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0, chunk,
+                                 sel_dtype), dtype)
+    msg_ref[:] += _dot(h3c * xrep, _sel_qt(out_channels, chunk, sel_dtype),
+                       dtype)
 
 
-# --------------------------------------------------- backward (big layer)
+# ------------------------------------------- backward kernel 1: dx, dh2
 
-def _bwd_big_kernel(in_channels, out_channels, chunk, *refs):
-    # inputs: h2, x, g, wL_chunk ; outputs: dwL_chunk, dbL_chunk,
-    # dx_slab, dh_slab
+def _bwd_dx_kernel(in_channels, out_channels, chunk, dtype, *refs):
     h2_ref, x_ref, g_ref, wl_ref = refs[:4]
-    dwl_ref, dbl_ref, dx_ref, dh_ref = refs[4:]
+    dx_ref, dh_ref = refs[4:]
+
+    ci = pl.program_id(1)
+    c0 = ci * chunk
+    sel_dtype = dtype or jnp.float32
+
+    @pl.when(ci == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    g = g_ref[:]
+    grep = _tile_lanes(g, chunk // out_channels)
+    h3c = _dot(h2_ref[:], wl_ref[:], dtype)
+    dx_ref[:] += _dot(h3c * grep,
+                      _sel_p(in_channels, out_channels, c0, chunk,
+                             sel_dtype, transpose=True), dtype)
+    xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0, chunk,
+                                 sel_dtype), dtype)
+    dpre = xrep * grep
+    dh_ref[:] += _dot_general(dpre, wl_ref[:], (((1,), (1,)), ((), ())),
+                              dtype)
+
+
+# ------------------------------------------- backward kernel 2: dW, db
+
+def _bwd_dw_kernel(in_channels, out_channels, chunk, dtype, *refs):
+    h2_ref, x_ref, g_ref = refs[:3]
+    dwl_ref, dbl_ref = refs[3:]
 
     ei = pl.program_id(1)
     ci = pl.program_id(0)
     c0 = ci * chunk
+    sel_dtype = dtype or jnp.float32
 
     g = g_ref[:]
     grep = _tile_lanes(g, chunk // out_channels)
-    xrep = jnp.dot(x_ref[:], _sel_p(in_channels, out_channels, c0, chunk),
-                   preferred_element_type=jnp.float32)
+    xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0, chunk,
+                                 sel_dtype), dtype)
     dpre = xrep * grep
-
-    h2 = h2_ref[:]
-    h3c = jnp.dot(h2, wl_ref[:], preferred_element_type=jnp.float32)
-    # note: + bL does not matter for the grads computed here except dx,
-    # where K includes the bias contribution -> add it
-    dx_ref[0] = jnp.dot(
-        (h3c * grep), _sel_p(in_channels, out_channels, c0, chunk,
-                             transpose=True),
-        preferred_element_type=jnp.float32)
-    dh_ref[0] = jax.lax.dot_general(
-        dpre, wl_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    dwl = jax.lax.dot_general(h2, dpre, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    dwl = _dot_general(h2_ref[:], dpre, (((0,), (0,)), ((), ())), dtype)
     dbl = jnp.sum(dpre, axis=0, keepdims=True)
 
     @pl.when(ei == 0)
@@ -183,7 +215,7 @@ def _pad_e(arr, e_pad):
 
 @functools.lru_cache(maxsize=64)
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
-                  interpret):
+                  dtype_name, interpret):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -191,9 +223,10 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
     c_total = layer_dims[-1][1]
     chunk = min(C_CHUNK, c_total)
     n_chunks = c_total // chunk
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
 
-    def const_spec(i, o):
-        return pl.BlockSpec((i, o), lambda e, c: (0, 0),
+    def const_spec(i, o, ndims=2):
+        return pl.BlockSpec((i, o), lambda ei, ci: (0, 0),
                             memory_space=pltpu.VMEM)
 
     def small_weight_specs():
@@ -203,6 +236,10 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
             specs.append(const_spec(1, o))
         return specs
 
+    def edge_spec(w):
+        return pl.BlockSpec((block_e, w), lambda ei, ci: (ei, 0),
+                            memory_space=pltpu.VMEM)
+
     def fwd_impl(x_src, attr, flat):
         e = x_src.shape[0]
         e_pad = ((e + block_e - 1) // block_e) * block_e
@@ -210,9 +247,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         at = _pad_e(attr, e_pad)
         grid = (e_pad // block_e, n_chunks)
         kernel = functools.partial(_fwd_kernel, in_channels, out_channels,
-                                   n_small, chunk)
-        edge = lambda w: pl.BlockSpec((block_e, w), lambda ei, ci: (ei, 0),
-                                      memory_space=pltpu.VMEM)
+                                   n_small, chunk, dtype)
         wl_spec = pl.BlockSpec((kw_last, chunk), lambda ei, ci: (0, ci),
                                memory_space=pltpu.VMEM)
         bl_spec = pl.BlockSpec((1, chunk), lambda ei, ci: (0, ci),
@@ -220,9 +255,9 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         msg = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[edge(in_channels), edge(a_dim)]
+            in_specs=[edge_spec(in_channels), edge_spec(a_dim)]
             + small_weight_specs() + [wl_spec, bl_spec],
-            out_specs=edge(out_channels),
+            out_specs=edge_spec(out_channels),
             out_shape=jax.ShapeDtypeStruct((e_pad, out_channels),
                                            jnp.float32),
             scratch_shapes=[pltpu.VMEM((block_e, kw_last), jnp.float32)],
@@ -236,43 +271,49 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         h2p = _pad_e(h2, e_pad)
         xs = _pad_e(x_src, e_pad)
         gp = _pad_e(g, e_pad)
-        grid = (n_chunks, e_pad // block_e)
-        kernel = functools.partial(_bwd_big_kernel, in_channels,
-                                   out_channels, chunk)
-        edge = lambda w: pl.BlockSpec((block_e, w), lambda ci, ei: (ei, 0),
-                                      memory_space=pltpu.VMEM)
-        wl_spec = pl.BlockSpec((kw_last, chunk), lambda ci, ei: (0, ci),
+
+        # kernel 1: dx, dh2 (grid E x C, chunk accumulation)
+        k1 = functools.partial(_bwd_dx_kernel, in_channels, out_channels,
+                               chunk, dtype)
+        wl_spec = pl.BlockSpec((kw_last, chunk), lambda ei, ci: (0, ci),
                                memory_space=pltpu.VMEM)
-        slab = lambda w: pl.BlockSpec((1, block_e, w),
-                                      lambda ci, ei: (ci, ei, 0),
-                                      memory_space=pltpu.VMEM)
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[edge(kw_last), edge(in_channels), edge(out_channels),
-                      wl_spec],
+        dx, dh2 = pl.pallas_call(
+            k1,
+            grid=(e_pad // block_e, n_chunks),
+            in_specs=[edge_spec(kw_last), edge_spec(in_channels),
+                      edge_spec(out_channels), wl_spec],
+            out_specs=[edge_spec(in_channels), edge_spec(kw_last)],
+            out_shape=[
+                jax.ShapeDtypeStruct((e_pad, in_channels), jnp.float32),
+                jax.ShapeDtypeStruct((e_pad, kw_last), jnp.float32),
+            ],
+            interpret=interpret,
+        )(h2p, xs, gp, w_last)
+
+        # kernel 2: dW, db (grid C x E, edge accumulation)
+        k2 = functools.partial(_bwd_dw_kernel, in_channels, out_channels,
+                               chunk, dtype)
+        edge_t = lambda w: pl.BlockSpec((block_e, w),
+                                        lambda ci, ei: (ei, 0),
+                                        memory_space=pltpu.VMEM)
+        dwl, dbl = pl.pallas_call(
+            k2,
+            grid=(n_chunks, e_pad // block_e),
+            in_specs=[edge_t(kw_last), edge_t(in_channels),
+                      edge_t(out_channels)],
             out_specs=[
                 pl.BlockSpec((kw_last, chunk), lambda ci, ei: (0, ci),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chunk), lambda ci, ei: (0, ci),
                              memory_space=pltpu.VMEM),
-                slab(in_channels),
-                slab(kw_last),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((kw_last, c_total), jnp.float32),
                 jax.ShapeDtypeStruct((1, c_total), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, e_pad, in_channels),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, e_pad, kw_last),
-                                     jnp.float32),
             ],
             interpret=interpret,
-        )(h2p, xs, gp, w_last)
-        dwl, dbl, dx_slab, dh_slab = outs
-        dx = jnp.sum(dx_slab, axis=0)[:e]
-        dh2 = jnp.sum(dh_slab, axis=0)[:e]
-        return dwl, dbl, dx, dh2
+        )(h2p, xs, gp)
+        return dwl, dbl, dx[:e], dh2[:e]
 
     def small_forward_xla(attr, flat):
         hs = [attr]
@@ -296,10 +337,9 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         h2 = hs[-1]
         w_last = flat[2 * n_small]
         dwl, dbl, dx, dh = bwd_big(h2, x_src, g, w_last)
-        # bias of the last layer contributes to K and hence to dx:
+        # the last layer's bias contributes to K and hence to dx:
         # K = h2 @ W_L + b_L; the kernel computed dx from h2 @ W_L only.
         b_last = flat[2 * n_small + 1]  # [1, c_total]
-        # dx_bias[e, i] = sum_o b_L[i*out + o] * g[e, o]
         b_mat = b_last.reshape(in_channels, out_channels)
         dx = dx + g @ b_mat.T
         # backprop small layers in XLA
@@ -332,16 +372,24 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         compute_dtype=None, block_e=None,
                         interpret: bool = False):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
-    HBM round-trip). compute_dtype is currently ignored (f32 kernels)."""
+    HBM round-trip)."""
     assert fused_path_supported(kernel_params, in_channels, out_channels), \
         "fused path unsupported for this kernel shape; use impl='scan'"
     dims = _layer_dims(kernel_params)
     if block_e is None:
-        block_e = DEFAULT_BLOCK_E
+        # larger edge blocks amortize grid-step overhead; shrink as the
+        # streamed weight chunk and block activations grow
+        kw_last = dims[-1][0]
+        block_e = 1024 if kw_last <= 256 else (
+            512 if kw_last <= 512 else 256)
+    dtype_name = "bfloat16" if compute_dtype in ("bfloat16", jnp.bfloat16) \
+        else None
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
-                          interpret)
+                          dtype_name, interpret)
+    from .segment import gather_rows
+
     flat = tuple(_flatten_params(kernel_params))
-    x_src = x[senders]
+    x_src = gather_rows(x, senders)
     return fused(x_src, edge_attr, flat)
 
 

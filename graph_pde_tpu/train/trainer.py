@@ -105,6 +105,47 @@ def make_train_step(task: Task, tx):
     return train_step
 
 
+def make_epoch_fn(task: Task, tx):
+    """Whole-epoch train function: scans the train step over a stacked
+    epoch of batches [n_steps, B, ...] inside ONE jit — removes per-step
+    dispatch overhead and lets XLA schedule across steps (TPU-first
+    replacement for the reference's Python batch loop)."""
+    loss_fn = make_loss_fn(task, task.loss_type)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, batches):
+        def body(carry, batch):
+            params, opt_state = carry
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, metrics["l2_sum"])
+
+        (params, opt_state), (losses, l2s) = jax.lax.scan(
+            body, (params, opt_state), batches)
+        return params, opt_state, jnp.sum(losses), jnp.sum(l2s)
+
+    return epoch_fn
+
+
+def stack_epoch(data, batch_size: int, rng=None):
+    """Host-side: reshapes a stacked dataset into [n_steps, B, ...] for
+    make_epoch_fn, with optional shuffling."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(data)
+    n = leaves[0].shape[0]
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    n_steps = n // batch_size
+    sel = order[: n_steps * batch_size]
+    return jax.tree_util.tree_map(
+        lambda a: a[sel].reshape((n_steps, batch_size) + a.shape[1:]),
+        data)
+
+
 def make_eval_step(task: Task):
     lp = LpLoss(size_average=False)
 
