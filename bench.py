@@ -84,11 +84,16 @@ def time_epoch_scanned(params, task, graphs, batch_size, lr=1e-4,
     from graph_pde_tpu.train.trainer import make_epoch_fn, stack_epoch
     from graph_pde_tpu.train.optim import adam_steplr
 
+    import jax
+
     tx = adam_steplr(lr, weight_decay=5e-4, steps_per_epoch=1)
     opt_state = tx.init(params)
     epoch_fn = make_epoch_fn(task, tx)
     rng = np.random.default_rng(0)
-    batches = stack_epoch(graphs, batch_size, rng)
+    # device-resident epoch (one upload; the reference re-copies every
+    # batch to the GPU per step, UAI1_full_resolution.py:259)
+    batches = jax.device_put(stack_epoch(graphs, batch_size, rng))
+    params = jax.device_put(params)
 
     for _ in range(n_warmup):
         params, opt_state, loss, l2 = epoch_fn(params, opt_state, batches)
