@@ -1,0 +1,246 @@
+"""Experiment registry: every reference script as a config.
+
+The reference's "API surface" is 15+ standalone scripts with hardcoded
+hyperparameters (SURVEY.md section 2.4). Here each becomes an
+``ExperimentConfig`` consumed by one runner (graph_pde_tpu.experiments.
+runners) — sweeps become config lists, and a `smoke` flag shrinks any
+experiment to a seconds-scale version of itself for CI.
+
+Data note: the reference's .mat datasets are distributed out-of-band; the
+runner defaults to the synthetic generators (data/synthetic.py) at a
+configurable source resolution, and accepts .mat paths where available
+(data_path=...). Per-script citations below give the reference file the
+config reproduces.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    family: str                 # 'gkn' | 'mgkn_general' | 'mgkn_orthogonal' | 'gcn'
+    dataset: str = "darcy"      # 'darcy' | 'burgers'
+    # data
+    source_res: int = 241        # generation/source grid (downsampled by r)
+    downsample: int = 4
+    ntrain: int = 100
+    ntest: int = 40
+    data_seed: int = 0
+    data_path: Optional[str] = None        # train .mat (optional)
+    test_data_path: Optional[str] = None   # test .mat (optional)
+    u_norm: str = "unit"         # 'unit' | 'gaussian'
+    # graph build
+    nystrom_m: Optional[int] = None   # None -> full grid
+    graphs_per_sample: int = 1
+    radius_train: float = 0.25
+    radius_test: Optional[float] = None
+    points: Tuple[int, ...] = ()      # multilevel node counts
+    radius_inner: Tuple[float, ...] = ()
+    radius_inter: Tuple[float, ...] = ()
+    lattice: bool = False             # GCN lattice graph
+    # model
+    width: int = 64
+    ker_width: int = 256
+    depth: int = 4
+    kernel_variant: str = "nn3"       # 'nn' | 'nn3' | 'nn5'
+    relu_last: bool = False
+    decoder_mlp: bool = False
+    mgkn_variant: str = "mkgn"
+    # training
+    epochs: int = 100
+    batch_size: int = 2
+    learning_rate: float = 1e-4
+    weight_decay: float = 5e-4
+    scheduler_step: int = 50
+    scheduler_gamma: float = 0.5
+    loss: str = "l1"
+    seed: int = 0
+    # evaluation
+    eval_protocol: str = "fixed"      # 'fixed' | 'multires' |
+    #                                  'split_random' | 'split_downsample'
+    eval_resolutions: Tuple[int, ...] = ()
+
+    def smoke(self) -> "ExperimentConfig":
+        """Seconds-scale version for CI: tiny data, few epochs."""
+        small = {
+            "source_res": min(self.source_res, 33),
+            "downsample": 1,
+            "ntrain": 8,
+            "ntest": 4,
+            "epochs": 2,
+            "width": 16,
+            "ker_width": 32,
+            "depth": min(self.depth, 2),
+            "batch_size": 2,
+        }
+        if self.nystrom_m:
+            small["nystrom_m"] = min(self.nystrom_m, 48)
+        if self.points:
+            small["points"] = tuple(
+                max(p // 8, 6) for p in self.points)
+        if self.eval_resolutions:
+            small["eval_resolutions"] = (17, 33)
+        if self.dataset == "burgers":
+            small["source_res"] = 64
+            small["nystrom_m"] = min(self.nystrom_m or 48, 32)
+        return dataclasses.replace(self, **small)
+
+
+_R = {}
+
+
+def register(cfg: ExperimentConfig) -> ExperimentConfig:
+    _R[cfg.name] = cfg
+    return cfg
+
+
+def get(name: str) -> ExperimentConfig:
+    return _R[name]
+
+
+def names():
+    return sorted(_R)
+
+
+# ------------------------------------------------------------------ GKN
+
+# UAI1_full_resolution.py: full s=61 grid, radius 0.1, KernelNN (relu all),
+# ker_width 1024, depth 6, L1 backward, eval at 16/31/61.
+register(ExperimentConfig(
+    name="uai1_full_resolution", family="gkn", downsample=4,
+    ntrain=100, ntest=40, radius_train=0.1, width=64, ker_width=1024,
+    depth=6, kernel_variant="nn", relu_last=True, epochs=200, batch_size=1,
+    learning_rate=1e-4, scheduler_step=50, scheduler_gamma=0.8, loss="l1",
+    u_norm="gaussian", eval_protocol="multires",
+    eval_resolutions=(16, 31, 61)))
+
+# UAI2_full_equation.py: s=31 full grid, 10 train, 5000 epochs, batch 2.
+register(ExperimentConfig(
+    name="uai2_full_equation", family="gkn", downsample=8, ntrain=10,
+    ntest=40, radius_train=0.1, width=64, ker_width=1024, depth=6,
+    kernel_variant="nn", relu_last=True, epochs=5000, batch_size=2,
+    loss="l1", u_norm="gaussian"))
+
+# UAI3_resolution.py: Nystrom m=200, k=2 graphs/sample, radius 0.25, MSE;
+# zero-shot eval at 61/121/241 (the discretization-invariance oracle).
+register(ExperimentConfig(
+    name="uai3_resolution", family="gkn", downsample=4, ntrain=100,
+    ntest=40, nystrom_m=200, graphs_per_sample=2, radius_train=0.25,
+    width=64, ker_width=256, depth=4, kernel_variant="nn3", loss="mse",
+    u_norm="gaussian", epochs=200, batch_size=2, eval_protocol="multires",
+    eval_resolutions=(61, 121, 241)))
+
+# UAI4_equation_sample.py: full 241 resolution, m=200, sample-count sweep.
+register(ExperimentConfig(
+    name="uai4_equation_sample", family="gkn", downsample=1, ntrain=100,
+    ntest=40, nystrom_m=200, radius_train=0.25, width=64, ker_width=256,
+    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
+
+# UAI5_sample_generalize.py: train-m vs test-m generalization, radius 0.15.
+register(ExperimentConfig(
+    name="uai5_sample_generalize", family="gkn", downsample=1, ntrain=100,
+    ntest=40, nystrom_m=400, radius_train=0.15, width=64, ker_width=256,
+    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
+
+# UAI6_sample_radius.py: m x radius sweep (0.05/0.15/0.4).
+register(ExperimentConfig(
+    name="uai6_sample_radius", family="gkn", downsample=1, ntrain=100,
+    ntest=40, nystrom_m=200, radius_train=0.15, width=64, ker_width=256,
+    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
+
+# UAI7_evaluate.py: train subsampled 421 grid; full-grid eval via
+# DownsampleGridSplitter shards + gaussian smoothing.
+register(ExperimentConfig(
+    name="uai7_evaluate", family="gkn", source_res=421, downsample=1,
+    ntrain=100, ntest=20, nystrom_m=421, radius_train=0.15, width=64,
+    ker_width=256, depth=4, kernel_variant="nn3", loss="mse", epochs=200,
+    batch_size=2, eval_protocol="split_downsample"))
+
+# UAI7_evaluate2.py: same training; eval via RandomGridSplitter.
+register(ExperimentConfig(
+    name="uai7_evaluate2", family="gkn", source_res=421, downsample=1,
+    ntrain=100, ntest=20, nystrom_m=421, radius_train=0.15, width=64,
+    ker_width=256, depth=4, kernel_variant="nn3", loss="mse", epochs=200,
+    batch_size=2, eval_protocol="split_random"))
+
+# UAI8_kernel.py: 5-layer kernel MLP ablation.
+register(ExperimentConfig(
+    name="uai8_kernel", family="gkn", downsample=4, ntrain=100, ntest=40,
+    nystrom_m=200, radius_train=0.25, width=64, ker_width=256, depth=4,
+    kernel_variant="nn5", loss="mse", epochs=200, batch_size=2))
+
+# neurips1_GKN.py: the MGKN paper's GKN baseline (m=200, radius 0.2,
+# KernelNN3 depth 4) — the bench.py protocol.
+register(ExperimentConfig(
+    name="neurips1_gkn", family="gkn", downsample=1, ntrain=100, ntest=100,
+    nystrom_m=200, radius_train=0.2, width=64, ker_width=256, depth=4,
+    kernel_variant="nn3", loss="mse", epochs=100, batch_size=1,
+    scheduler_step=50, scheduler_gamma=0.5))
+
+# neurips5_GKN.py: Burgers GKN, two-layer decoder.
+register(ExperimentConfig(
+    name="neurips5_gkn", family="gkn", dataset="burgers", source_res=1024,
+    downsample=1, ntrain=100, ntest=40, nystrom_m=128, radius_train=0.25,
+    width=64, ker_width=256, depth=4, kernel_variant="nn3",
+    decoder_mlp=True, loss="mse", epochs=100, batch_size=2,
+    eval_protocol="split_random"))
+
+# ---------------------------------------------------------------- MGKN
+
+# MGKN_general_darcy2d.py: flagship general MGKN, s=85 (421/5),
+# m=[400,100,25], ntrain=1024, decoded-rel-L2 backward.
+register(ExperimentConfig(
+    name="mgkn_general_darcy2d", family="mgkn_general", source_res=421,
+    downsample=5, ntrain=1024, ntest=100, points=(400, 100, 25),
+    radius_inner=(0.25, 0.5, 1.0), radius_inter=(0.125, 0.25), width=64,
+    ker_width=256, depth=5, loss="rel2", epochs=200, batch_size=1,
+    learning_rate=1e-4, weight_decay=0.0, scheduler_step=20,
+    scheduler_gamma=0.8, eval_protocol="split_random"))
+
+# neurips1_MGKN.py: multilevel m=[2400,1600,400,100,25], radii halving.
+register(ExperimentConfig(
+    name="neurips1_mgkn", family="mgkn_general", downsample=1, ntrain=100,
+    ntest=100, points=(2400, 1600, 400, 100, 25),
+    radius_inner=(0.01, 0.02, 0.04, 0.08, 0.16),
+    radius_inter=(0.0075, 0.015, 0.03, 0.06), width=64, ker_width=256,
+    depth=4, mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
+    weight_decay=0.0))
+
+# neurips2_MGKN.py: level-count ablation (single level).
+register(ExperimentConfig(
+    name="neurips2_mgkn", family="mgkn_general", downsample=4, ntrain=100,
+    ntest=100, points=(200, 100), radius_inner=(0.05, 0.1),
+    radius_inter=(0.04,), width=64, ker_width=256, depth=4,
+    mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
+    weight_decay=0.0))
+
+# neurips3_MGKN.py: resolution generalization, m=[400,100,25].
+register(ExperimentConfig(
+    name="neurips3_mgkn", family="mgkn_general", downsample=8, ntrain=100,
+    ntest=100, points=(400, 100, 25), radius_inner=(0.25, 0.5, 1.0),
+    radius_inter=(0.125, 0.25), width=64, ker_width=256, depth=4,
+    mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
+    weight_decay=0.0, u_norm="gaussian", eval_protocol="multires",
+    eval_resolutions=(61, 121, 241)))
+
+# MGKN_orthogonal_burgers1d.py: flagship orthogonal MGKN, s=1024.
+register(ExperimentConfig(
+    name="mgkn_orthogonal_burgers1d", family="mgkn_orthogonal",
+    dataset="burgers", source_res=8192, downsample=8, ntrain=1024,
+    ntest=100, width=64, ker_width=1024, depth=4, loss="rel2", epochs=200,
+    batch_size=1, learning_rate=1e-5, weight_decay=0.0, scheduler_step=10,
+    scheduler_gamma=0.8))
+
+# ----------------------------------------------------------------- GCN
+
+# neurips4_GCN.py: GCN baseline on the 4-neighbor lattice of the 421 grid.
+register(ExperimentConfig(
+    name="neurips4_gcn", family="gcn", source_res=421, downsample=1,
+    ntrain=100, ntest=100, lattice=True, width=128, ker_width=256, depth=1,
+    loss="mse", epochs=200, batch_size=1))
+
+
+__all__ = ["ExperimentConfig", "register", "get", "names"]

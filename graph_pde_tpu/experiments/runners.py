@@ -1,0 +1,479 @@
+"""One runner executing any registered experiment config.
+
+Replaces the reference's 15 per-script train/eval loops (SURVEY.md
+section 2.4) with config-driven execution: data -> graphs -> fit -> eval
+protocol. Returns a result dict with per-epoch histories and final
+decoded rel-L2 metrics (the reference's universal eval metric).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .registry import ExperimentConfig
+from ..data import (
+    load_or_generate_darcy, load_or_generate_burgers,
+    prepare_darcy, prepare_burgers,
+    darcy_gkn_graphs, darcy_mgkn_graphs, burgers_gkn_graphs,
+    burgers_multipole_data,
+)
+from ..utils.losses import LpLoss
+from ..utils.matio import MatReader
+
+
+def _load_darcy_fields(cfg: ExperimentConfig, n: int, path: Optional[str],
+                       seed: int) -> Dict[str, np.ndarray]:
+    if path is not None:
+        reader = MatReader(path)
+        return {k: reader.read_field(k)[:n]
+                for k in ("coeff", "Kcoeff", "Kcoeff_x", "Kcoeff_y", "sol")}
+    return load_or_generate_darcy(n, cfg.source_res, seed=seed)
+
+
+def _load_burgers_fields(cfg: ExperimentConfig, n: int,
+                         path: Optional[str], seed: int):
+    if path is not None:
+        reader = MatReader(path)
+        return {k: reader.read_field(k)[:n] for k in ("a", "u")}
+    return load_or_generate_burgers(n, cfg.source_res, seed=seed)
+
+
+def _kernel_layers(cfg: ExperimentConfig, ker_in: int):
+    w2 = cfg.width ** 2
+    if cfg.kernel_variant == "nn":
+        return (ker_in, cfg.ker_width, cfg.ker_width, w2)
+    if cfg.kernel_variant == "nn5":
+        # UAI8_kernel.py:21 — 5-layer kappa
+        return (ker_in, cfg.ker_width // 4, cfg.ker_width // 2,
+                cfg.ker_width, w2)
+    return (ker_in, cfg.ker_width // 2, cfg.ker_width, w2)
+
+
+def run_experiment(cfg: ExperimentConfig, smoke: bool = False,
+                   progress=None) -> Dict:
+    if smoke:
+        cfg = cfg.smoke()
+    if cfg.family == "gkn":
+        return _run_gkn(cfg, progress)
+    if cfg.family == "gcn":
+        return _run_gcn(cfg, progress)
+    if cfg.family == "mgkn_general":
+        return _run_mgkn_general(cfg, progress)
+    if cfg.family == "mgkn_orthogonal":
+        return _run_mgkn_orthogonal(cfg, progress)
+    raise ValueError(cfg.family)
+
+
+# ------------------------------------------------------------------ GKN
+
+def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
+    import jax
+    from ..models import GKNConfig, gkn_init
+    from ..train import GKNTask, TrainConfig, fit, evaluate
+
+    fields = _load_darcy_fields(cfg, cfg.ntrain, cfg.data_path,
+                                cfg.data_seed) \
+        if cfg.dataset == "darcy" else None
+    radius_test = cfg.radius_test or cfg.radius_train
+
+    if cfg.dataset == "darcy":
+        arrays, norms = prepare_darcy(fields, n=cfg.ntrain,
+                                      r=cfg.downsample, u_norm=cfg.u_norm)
+        test_fields = _load_darcy_fields(cfg, cfg.ntest,
+                                         cfg.test_data_path,
+                                         cfg.data_seed + 1)
+        test_arrays, _ = prepare_darcy(
+            test_fields, n=cfg.ntest, r=cfg.downsample, normalizers=norms,
+            u_normalizer=arrays.u_normalizer)
+        test_arrays.u = np.asarray(
+            arrays.u_normalizer.encode(test_arrays.u))
+        train_g = darcy_gkn_graphs(
+            arrays, m=cfg.nystrom_m, k=cfg.graphs_per_sample,
+            radius=cfg.radius_train, seed=cfg.seed)
+        test_g = darcy_gkn_graphs(
+            test_arrays, m=cfg.nystrom_m, radius=radius_test,
+            seed=cfg.seed + 1)
+        ker_in, in_width = 6, 6
+    else:
+        bfields = _load_burgers_fields(cfg, cfg.ntrain + cfg.ntest,
+                                       cfg.data_path, cfg.data_seed)
+        arrays = prepare_burgers(bfields, n=cfg.ntrain, r=cfg.downsample)
+        test_arrays = prepare_burgers(
+            {k: v[cfg.ntrain:] for k, v in bfields.items()}, n=cfg.ntest,
+            r=cfg.downsample, a_normalizer=arrays.a_normalizer,
+            u_normalizer=arrays.u_normalizer)
+        train_g = burgers_gkn_graphs(arrays, m=cfg.nystrom_m,
+                                     k=cfg.graphs_per_sample,
+                                     radius=cfg.radius_train, seed=cfg.seed)
+        test_g = burgers_gkn_graphs(test_arrays, m=cfg.nystrom_m,
+                                    radius=radius_test, seed=cfg.seed + 1)
+        ker_in, in_width = 4, 2
+
+    mcfg = GKNConfig(
+        width=cfg.width, ker_width=cfg.ker_width, depth=cfg.depth,
+        ker_in=ker_in, in_width=in_width,
+        kernel_layers=_kernel_layers(cfg, ker_in),
+        relu_last=(cfg.relu_last or cfg.kernel_variant == "nn"),
+        decoder_mlp=cfg.decoder_mlp)
+    params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
+    # per-node (unit) stats must be gathered at each node's grid index;
+    # padded node arrays make direct broadcasting impossible
+    task = GKNTask(mcfg, u_normalizer=arrays.u_normalizer,
+                   loss_type=cfg.loss,
+                   use_sample_idx=cfg.u_norm == "unit")
+    tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate,
+                     weight_decay=cfg.weight_decay,
+                     scheduler_step=cfg.scheduler_step,
+                     scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
+                     seed=cfg.seed)
+    res = fit(task, params, train_g, tc, test_data=test_g,
+              callback=progress)
+    result = {
+        "config": cfg.name,
+        "train_l2": res.train_l2,
+        "test_l2": res.test_l2,
+        "epoch_times": res.epoch_times,
+        "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
+    }
+
+    if cfg.eval_protocol == "multires" and cfg.dataset == "darcy":
+        result["multires"] = _eval_gkn_multires(
+            cfg, mcfg, res.params, arrays, norms, radius_test)
+    elif cfg.eval_protocol == "split_random" and cfg.dataset == "darcy":
+        result["full_field_l2"] = _eval_gkn_split_random(
+            cfg, mcfg, res.params, arrays, norms)
+    elif cfg.eval_protocol == "split_downsample":
+        result["full_field_l2"] = _eval_gkn_split_downsample(
+            cfg, mcfg, res.params, arrays, norms)
+    result["params"] = res.params
+    return result
+
+
+def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
+    """Zero-shot resolution generalization (UAI3_resolution.py:240-265):
+    the SAME weights evaluated on graphs built at other resolutions."""
+    from ..train import GKNTask, evaluate
+
+    out = {}
+    for s_eval in cfg.eval_resolutions:
+        if cfg.data_path is None and (s_eval - 1) % (cfg.source_res - 1) == 0 \
+                or cfg.source_res < s_eval:
+            # need a source grid at least as fine as s_eval
+            fields = load_or_generate_darcy(
+                cfg.ntest, s_eval, seed=cfg.data_seed + 2)
+            r = 1
+        else:
+            fields = _load_darcy_fields(cfg, cfg.ntest, cfg.test_data_path,
+                                        cfg.data_seed + 2)
+            r = (cfg.source_res - 1) // (s_eval - 1)
+        test_arrays, _ = prepare_darcy(
+            fields, n=cfg.ntest, r=r, normalizers=norms,
+            u_normalizer=arrays.u_normalizer)
+        test_arrays.u = np.asarray(
+            arrays.u_normalizer.encode(test_arrays.u))
+        m = cfg.nystrom_m
+        g = darcy_gkn_graphs(test_arrays, m=m, radius=radius_test,
+                             seed=cfg.seed + 3)
+        task = GKNTask(mcfg, u_normalizer=arrays.u_normalizer,
+                       loss_type=cfg.loss,
+                       use_sample_idx=cfg.u_norm == "unit")
+        out[int(test_arrays.s)] = evaluate(task, params, g,
+                                           batch_size=cfg.batch_size)
+    return out
+
+
+def _predict_shards(mcfg, params, graphs):
+    import jax
+    from ..models import gkn_apply
+
+    fwd = jax.jit(lambda g: gkn_apply(params, mcfg, g))
+    preds = []
+    for g in graphs:
+        out = np.asarray(fwd(g))[:, 0]
+        preds.append(out[: int(g.n_node)])
+    return preds
+
+
+def _eval_gkn_split_random(cfg, mcfg, params, arrays, norms):
+    """Full-field eval via RandomGridSplitter (UAI7_evaluate2.py:150-161)."""
+    from ..graph import RandomGridSplitter, make_box_grid
+    from ..data import load_or_generate_darcy
+
+    s = arrays.s
+    fields = load_or_generate_darcy(min(cfg.ntest, 10), cfg.source_res,
+                                    seed=cfg.data_seed + 2)
+    test_arrays, _ = prepare_darcy(fields, n=min(cfg.ntest, 10),
+                                   r=cfg.downsample, normalizers=norms,
+                                   u_normalizer=arrays.u_normalizer)
+    grid = make_box_grid([[0, 1], [0, 1]], [s, s])
+    m = cfg.nystrom_m or 200
+    n = s * s
+    m = _divisor_near(n, m)
+    sp = RandomGridSplitter(grid, s, d=2, m=m, l=1, radius=cfg.radius_train,
+                            seed=cfg.seed)
+    lp = LpLoss(size_average=False)
+    total = 0.0
+    count = 0
+    for j in range(test_arrays.a.shape[0]):
+        theta = np.stack([test_arrays.a[j], test_arrays.a_smooth[j],
+                          test_arrays.a_gradx[j], test_arrays.a_grady[j]],
+                         axis=1)
+        graphs = sp.get_data(theta)
+        preds = _predict_shards(mcfg, params, graphs)
+        idxs = [np.asarray(g.sample_idx)[: int(g.n_node)] for g in graphs]
+        # decode per shard with sample_idx stats when unit normalizer
+        dec = []
+        for p, idx in zip(preds, idxs):
+            d = arrays.u_normalizer.decode(p[None, :], sample_idx=idx[None]) \
+                if cfg.u_norm == "unit" else \
+                arrays.u_normalizer.decode(p[None, :])
+            dec.append(np.asarray(d)[0])
+        full = sp.assemble(dec, idxs)
+        truth = test_arrays.u[j]  # un-encoded (prepare with u_normalizer
+        # passed -> no encode)
+        total += float(lp.rel(full[None], truth[None]))
+        count += 1
+    return total / max(count, 1)
+
+
+def _eval_gkn_split_downsample(cfg, mcfg, params, arrays, norms):
+    """Full-field eval via DownsampleGridSplitter + smoothing
+    (UAI7_evaluate.py:218-229)."""
+    from ..graph import DownsampleGridSplitter, make_box_grid
+    from ..data import load_or_generate_darcy
+
+    s = arrays.s
+    fields = load_or_generate_darcy(min(cfg.ntest, 10), cfg.source_res,
+                                    seed=cfg.data_seed + 2)
+    test_arrays, _ = prepare_darcy(fields, n=min(cfg.ntest, 10),
+                                   r=cfg.downsample, normalizers=norms,
+                                   u_normalizer=arrays.u_normalizer)
+    grid = make_box_grid([[0, 1], [0, 1]], [s, s])
+    r = max(2, int(round(s / np.sqrt(cfg.nystrom_m or 200))))
+    sub = (s // r + (1 if s % 2 == 1 else 0))
+    m = max(cfg.nystrom_m or sub * sub, sub * sub)
+    sp = DownsampleGridSplitter(grid, s, r=r, m=m,
+                                radius=cfg.radius_train, seed=cfg.seed)
+    lp = LpLoss(size_average=False)
+    total = 0.0
+    count = 0
+    for j in range(test_arrays.a.shape[0]):
+        theta = np.stack([test_arrays.a[j], test_arrays.a_smooth[j],
+                          test_arrays.a_gradx[j], test_arrays.a_grady[j]],
+                         axis=1)
+        shards = sp.get_data(theta)
+        graphs = [g for g, xy in shards]
+        xys = [xy for g, xy in shards]
+        preds = _predict_shards(mcfg, params, graphs)
+        dec = []
+        for p, g in zip(preds, graphs):
+            idx = np.asarray(g.sample_idx)[: len(p)]
+            d = arrays.u_normalizer.decode(p[None, :], sample_idx=idx[None]) \
+                if cfg.u_norm == "unit" else \
+                arrays.u_normalizer.decode(p[None, :])
+            dec.append(np.asarray(d)[0])
+        full = sp.assemble(dec, xys, sigma=1.0)
+        truth = test_arrays.u[j]
+        total += float(lp.rel(full[None], truth[None]))
+        count += 1
+    return total / max(count, 1)
+
+
+def _divisor_near(n: int, m: int) -> int:
+    """Largest divisor of n that is <= m (RandomGridSplitter needs
+    n % m == 0)."""
+    best = 1
+    for d in range(1, int(np.sqrt(n)) + 1):
+        if n % d == 0:
+            for c in (d, n // d):
+                if c <= m:
+                    best = max(best, c)
+    return best
+
+
+# ------------------------------------------------------------------ GCN
+
+def _run_gcn(cfg: ExperimentConfig, progress=None) -> Dict:
+    import jax
+    from ..graph import grid_edge, build_graph, stack_graphs
+    from ..models import GCNConfig, gcn_init
+    from ..train import GCNTask, TrainConfig, fit
+
+    fields = _load_darcy_fields(cfg, cfg.ntrain + cfg.ntest, cfg.data_path,
+                                cfg.data_seed)
+    arrays, norms = prepare_darcy(fields, n=cfg.ntrain, r=cfg.downsample,
+                                  u_norm=cfg.u_norm)
+    s = arrays.s
+
+    def build(arr, j):
+        theta = arr.a[j]
+        X, ei, ea = grid_edge(s, s, theta)
+        x = np.concatenate([
+            X, theta[:, None], arr.a_smooth[j][:, None],
+            arr.a_gradx[j][:, None], arr.a_grady[j][:, None]], axis=1)
+        return build_graph(x, ei[0], ei[1], ea, y=arr.u[j],
+                           sample_idx=np.arange(s * s))
+
+    train_g = stack_graphs([build(arrays, j) for j in range(cfg.ntrain)])
+    mcfg = GCNConfig(width=cfg.width, ker_width=cfg.ker_width,
+                     depth=cfg.depth, in_width=6)
+    params = gcn_init(jax.random.PRNGKey(cfg.seed), mcfg)
+    task = GCNTask(mcfg, u_normalizer=arrays.u_normalizer,
+                   loss_type=cfg.loss,
+                   use_sample_idx=cfg.u_norm == "unit")
+    tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate,
+                     weight_decay=cfg.weight_decay,
+                     scheduler_step=cfg.scheduler_step,
+                     scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
+                     seed=cfg.seed)
+    res = fit(task, params, train_g, tc, callback=progress)
+    return {"config": cfg.name, "train_l2": res.train_l2,
+            "epoch_times": res.epoch_times, "params": res.params}
+
+
+# ---------------------------------------------------------------- MGKN
+
+def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
+    import jax
+    from ..models import MGKNGeneralConfig, mgkn_general_init
+    from ..train import MGKNGeneralTask, TrainConfig, fit, evaluate
+
+    fields = _load_darcy_fields(cfg, cfg.ntrain, cfg.data_path,
+                                cfg.data_seed)
+    arrays, norms = prepare_darcy(fields, n=cfg.ntrain, r=cfg.downsample,
+                                  u_norm=cfg.u_norm)
+    train_g, caps = darcy_mgkn_graphs(
+        arrays, points=cfg.points, radius_inner=cfg.radius_inner,
+        radius_inter=cfg.radius_inter, k=cfg.graphs_per_sample,
+        seed=cfg.seed)
+    test_fields = _load_darcy_fields(cfg, cfg.ntest, cfg.test_data_path,
+                                     cfg.data_seed + 1)
+    test_arrays, _ = prepare_darcy(
+        test_fields, n=cfg.ntest, r=cfg.downsample, normalizers=norms,
+        u_normalizer=arrays.u_normalizer)
+    test_arrays.u = np.asarray(arrays.u_normalizer.encode(test_arrays.u))
+    test_g, _ = darcy_mgkn_graphs(
+        test_arrays, points=cfg.points, radius_inner=cfg.radius_inner,
+        radius_inter=cfg.radius_inter, seed=cfg.seed + 1, caps=caps)
+
+    mcfg = MGKNGeneralConfig(
+        width=cfg.width, ker_width=cfg.ker_width, depth=cfg.depth,
+        ker_in=6, in_width=6, points=tuple(cfg.points),
+        variant=cfg.mgkn_variant)
+    params = mgkn_general_init(jax.random.PRNGKey(cfg.seed), mcfg)
+    task = MGKNGeneralTask(mcfg, u_normalizer=arrays.u_normalizer,
+                           loss_type=cfg.loss)
+    tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate,
+                     weight_decay=cfg.weight_decay,
+                     scheduler_step=cfg.scheduler_step,
+                     scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
+                     seed=cfg.seed)
+    res = fit(task, params, train_g, tc, test_data=test_g,
+              callback=progress)
+    result = {"config": cfg.name, "train_l2": res.train_l2,
+              "test_l2": res.test_l2, "epoch_times": res.epoch_times,
+              "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
+              "params": res.params}
+    if cfg.eval_protocol == "split_random":
+        result["full_field_l2"] = _eval_mgkn_split(
+            cfg, mcfg, res.params, arrays, norms, caps)
+    return result
+
+
+def _eval_mgkn_split(cfg, mcfg, params, arrays, norms, caps):
+    """Full-field MGKN eval via RandomMultiMeshSplitter
+    (MGKN_general_darcy2d.py:306-332)."""
+    import jax
+    from ..graph import RandomMultiMeshSplitter
+    from ..models import mgkn_general_apply
+    from ..data import load_or_generate_darcy
+
+    s = arrays.s
+    n_eval = min(cfg.ntest, 5)
+    fields = load_or_generate_darcy(n_eval, cfg.source_res,
+                                    seed=cfg.data_seed + 2)
+    test_arrays, _ = prepare_darcy(fields, n=n_eval, r=cfg.downsample,
+                                   normalizers=norms,
+                                   u_normalizer=arrays.u_normalizer)
+    sp = RandomMultiMeshSplitter([[0, 1], [0, 1]], [s, s],
+                                 level=len(cfg.points),
+                                 sample_sizes=list(cfg.points),
+                                 seed=cfg.seed)
+    fwd = jax.jit(lambda g: mgkn_general_apply(params, mcfg, g))
+    lp = LpLoss(size_average=False)
+    total = 0.0
+    split_caps = None
+    for j in range(n_eval):
+        theta_all = np.stack([
+            test_arrays.a[j], test_arrays.a_smooth[j],
+            test_arrays.a_gradx[j], test_arrays.a_grady[j]], axis=1)
+        graphs, split_caps = sp.splitter(
+            list(cfg.radius_inner), list(cfg.radius_inter),
+            test_arrays.a[j], theta_all, caps=split_caps)
+        outs, idxs = [], []
+        for g in graphs:
+            out = np.asarray(fwd(g))[:, 0]
+            idx = np.asarray(g.sample_idx)
+            dec = arrays.u_normalizer.decode(out[None], sample_idx=idx[None])
+            outs.append(np.asarray(dec)[0])
+            idxs.append(idx)
+        full = sp.assembler(outs, idxs)
+        total += float(lp.rel(full[None], test_arrays.u[j][None]))
+    return total / n_eval
+
+
+def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from ..models import (
+        MultipoleGraph1D, MGKNOrthogonalConfig, mgkn_orthogonal_init,
+    )
+    from ..train import MGKNOrthogonalTask, TrainConfig, fit
+
+    bfields = _load_burgers_fields(cfg, cfg.ntrain + cfg.ntest,
+                                   cfg.data_path, cfg.data_seed)
+    arrays = prepare_burgers(bfields, n=cfg.ntrain, r=cfg.downsample)
+    test_arrays = prepare_burgers(
+        {k: v[cfg.ntrain:] for k, v in bfields.items()}, n=cfg.ntest,
+        r=cfg.downsample, a_normalizer=arrays.a_normalizer,
+        u_normalizer=arrays.u_normalizer)
+
+    def build(arr):
+        xs, ys, senders, receivers, attrs = burgers_multipole_data(arr)
+        return MultipoleGraph1D(
+            x=jnp.asarray(xs),
+            senders=[jnp.asarray(np.broadcast_to(s, (xs.shape[0],) + s.shape))
+                     for s in senders],
+            receivers=[jnp.asarray(np.broadcast_to(r, (xs.shape[0],) + r.shape))
+                       for r in receivers],
+            attrs=[jnp.asarray(a) for a in attrs],
+            y=jnp.asarray(ys))
+
+    train_g = build(arrays)
+    test_g = build(test_arrays)
+
+    mcfg = MGKNOrthogonalConfig(width=cfg.width, ker_width=cfg.ker_width,
+                                depth=cfg.depth, ker_in=4, in_width=2,
+                                s=arrays.s)
+    params = mgkn_orthogonal_init(jax.random.PRNGKey(cfg.seed), mcfg)
+    task = MGKNOrthogonalTask(mcfg, u_normalizer=arrays.u_normalizer,
+                              loss_type=cfg.loss)
+    tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                     learning_rate=cfg.learning_rate,
+                     weight_decay=cfg.weight_decay,
+                     scheduler_step=cfg.scheduler_step,
+                     scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
+                     seed=cfg.seed)
+    res = fit(task, params, train_g, tc, test_data=test_g,
+              callback=progress)
+    return {"config": cfg.name, "train_l2": res.train_l2,
+            "test_l2": res.test_l2, "epoch_times": res.epoch_times,
+            "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
+            "params": res.params}
+
+
+__all__ = ["run_experiment"]

@@ -1,0 +1,45 @@
+"""Smoke tests: every registered experiment family runs end to end."""
+import numpy as np
+import pytest
+
+from graph_pde_tpu.experiments import get, names, run_experiment
+
+
+def test_registry_covers_reference_scripts():
+    expected = {
+        "uai1_full_resolution", "uai2_full_equation", "uai3_resolution",
+        "uai4_equation_sample", "uai5_sample_generalize",
+        "uai6_sample_radius", "uai7_evaluate", "uai7_evaluate2",
+        "uai8_kernel", "neurips1_gkn", "neurips1_mgkn", "neurips2_mgkn",
+        "neurips3_mgkn", "neurips4_gcn", "neurips5_gkn",
+        "mgkn_general_darcy2d", "mgkn_orthogonal_burgers1d",
+    }
+    assert expected <= set(names())
+
+
+@pytest.mark.parametrize("name", [
+    "neurips1_gkn",              # GKN darcy nystrom
+    "uai3_resolution",           # GKN + multires eval
+    "mgkn_general_darcy2d",      # flagship MGKN + split/assemble eval
+    "mgkn_orthogonal_burgers1d", # flagship orthogonal MGKN
+    "neurips5_gkn",              # burgers GKN
+    "neurips4_gcn",              # GCN baseline
+])
+def test_experiment_smoke(name):
+    result = run_experiment(get(name), smoke=True)
+    assert np.isfinite(result["train_l2"][-1])
+    if result.get("final_test_l2") is not None:
+        assert np.isfinite(result["final_test_l2"])
+    if "multires" in result:
+        for s, v in result["multires"].items():
+            assert np.isfinite(v), (s, v)
+    if "full_field_l2" in result:
+        assert np.isfinite(result["full_field_l2"])
+
+
+def test_cli_list_and_smoke_run(capsys):
+    from graph_pde_tpu.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "neurips1_gkn" in out
