@@ -5,6 +5,8 @@ from .trainer import (
 )
 from .tasks import GKNTask, GCNTask, MGKNGeneralTask, MGKNOrthogonalTask
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .metrics import MetricsLogger, profile_trace, save_field_triptych
+from .trainer import make_epoch_fn, stack_epoch
 
 __all__ = [
     "adam_steplr", "step_lr",
@@ -12,4 +14,6 @@ __all__ = [
     "make_eval_step", "fit", "evaluate", "FitResult",
     "GKNTask", "GCNTask", "MGKNGeneralTask", "MGKNOrthogonalTask",
     "save_checkpoint", "restore_checkpoint", "latest_step",
+    "MetricsLogger", "profile_trace", "save_field_triptych",
+    "make_epoch_fn", "stack_epoch",
 ]

@@ -172,9 +172,15 @@ class FitResult:
 
 def fit(task: Task, params, train_data, cfg: TrainConfig,
         test_data=None, log_every: int = 1,
-        callback: Optional[Callable] = None) -> FitResult:
+        callback: Optional[Callable] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False) -> FitResult:
     """Host-side epoch loop; batches come from data.batch_iterator over the
-    stacked pytrees."""
+    stacked pytrees. With ``checkpoint_dir`` set, saves params+opt_state
+    every ``checkpoint_every`` epochs (and at the end) and can ``resume``
+    mid-training — the reference only pickles the final model
+    (UAI1_full_resolution.py:317)."""
     from ..data.datasets import batch_iterator
 
     n_train = jax.tree_util.tree_leaves(train_data)[0].shape[0]
@@ -184,12 +190,23 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
                      step_size_epochs=cfg.scheduler_step,
                      gamma=cfg.scheduler_gamma)
     opt_state = tx.init(params)
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        from .checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(
+            checkpoint_dir,
+            template={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = restored["step"]
     train_step = make_train_step(task, tx)
     eval_step = make_eval_step(task)
-    rng = np.random.default_rng(cfg.seed)
+    rng = np.random.default_rng(cfg.seed + start_epoch)
 
     train_l2_hist, test_l2_hist, times = [], [], []
-    for ep in range(cfg.epochs):
+    for ep in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         l2_sum = 0.0
         count = 0
@@ -212,6 +229,15 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
             test_l2_hist.append(test_l2)
         if callback is not None:
             callback(ep, params, train_l2, test_l2)
+        if (checkpoint_dir and checkpoint_every
+                and (ep + 1) % checkpoint_every == 0):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, ep + 1, params, opt_state)
+    if checkpoint_dir:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_dir, cfg.epochs, params, opt_state)
     return FitResult(params, opt_state, train_l2_hist, test_l2_hist, times)
 
 
