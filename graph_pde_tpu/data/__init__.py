@@ -19,6 +19,7 @@ from .datasets import (
     burgers_gkn_graphs,
     burgers_multipole_data,
     batch_iterator,
+    prefetch_to_device,
 )
 
 __all__ = [
@@ -27,5 +28,5 @@ __all__ = [
     "load_or_generate_darcy", "load_or_generate_burgers",
     "DarcyArrays", "prepare_darcy", "darcy_gkn_graphs", "darcy_mgkn_graphs",
     "BurgersArrays", "prepare_burgers", "burgers_gkn_graphs",
-    "burgers_multipole_data", "batch_iterator",
+    "burgers_multipole_data", "batch_iterator", "prefetch_to_device",
 ]

@@ -349,10 +349,41 @@ def batch_iterator(stacked, batch_size: int, rng: Optional[np.random.Generator] 
         yield jax.tree_util.tree_map(lambda a: a[sel], stacked)
 
 
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Device-prefetching wrapper: keeps `size` batches in flight so
+    host->device copies overlap the previous step's compute — the
+    TPU-native replacement for the reference's synchronous per-step
+    ``batch.to(device)`` (UAI1_full_resolution.py:259)."""
+    import collections
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            queue.append(jax.device_put(batch, sharding))
+        else:
+            queue.append(jax.device_put(batch))
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 __all__ = [
     "load_or_generate_darcy", "load_or_generate_burgers",
     "DarcyArrays", "prepare_darcy", "darcy_gkn_graphs", "darcy_mgkn_graphs",
     "BurgersArrays", "prepare_burgers", "burgers_gkn_graphs",
     "burgers_multipole_data",
-    "batch_iterator",
+    "batch_iterator", "prefetch_to_device",
 ]
