@@ -6,11 +6,14 @@ from .sharding import (
     param_sharding,
     replicated_sharding,
 )
-from .halo import partition_graph, gkn_apply_node_sharded
+from .halo import (partition_graph, partition_graph_ring,
+                   gkn_apply_node_sharded,
+                   gkn_apply_node_sharded_ring)
 
 __all__ = [
     "make_mesh", "default_mesh_shape",
     "batch_spec", "batch_sharding", "param_specs", "param_sharding",
     "replicated_sharding",
-    "partition_graph", "gkn_apply_node_sharded",
+    "partition_graph", "partition_graph_ring",
+    "gkn_apply_node_sharded", "gkn_apply_node_sharded_ring",
 ]

@@ -150,8 +150,152 @@ def gkn_apply_node_sharded(params, cfg, parts, mesh: Mesh,
     return out.reshape(-1, out.shape[-1])
 
 
+def partition_graph_ring(graph: Graph, n_shards: int,
+                         edge_multiple: int = 256):
+    """Host-side: buckets each receiver-shard's edges by SENDER shard for
+    ring execution. Returns arrays with leading axes [S_recv, S_send]:
+
+      x: [S, n_loc, F]
+      senders: [S, S, e_b]  local ids within the SENDING shard
+      receivers: [S, S, e_b] local ids within the receiving shard
+      edge_attr: [S, S, e_b, A]
+      edge_mask: [S, S, e_b]
+      node_mask: [S, n_loc]
+    """
+    parts = partition_graph(graph, n_shards, edge_multiple=1)
+    S = n_shards
+    n_loc = parts["x"].shape[1]
+    a_dim = parts["edge_attr"].shape[-1]
+
+    e_b = 1
+    buckets = []
+    for rs in range(S):
+        senders = parts["senders"][rs]
+        mask = parts["edge_mask"][rs]
+        src_shard = senders // n_loc
+        row = []
+        for ss in range(S):
+            sel = (src_shard == ss) & mask
+            row.append(sel)
+            e_b = max(e_b, int(sel.sum()))
+        buckets.append(row)
+    e_b = round_up(e_b, edge_multiple)
+
+    out_s = np.zeros((S, S, e_b), np.int32)
+    out_r = np.full((S, S, e_b), n_loc - 1, np.int32)
+    out_a = np.zeros((S, S, e_b, a_dim), np.float32)
+    out_m = np.zeros((S, S, e_b), bool)
+    for rs in range(S):
+        for ss in range(S):
+            sel = buckets[rs][ss]
+            e = int(sel.sum())
+            out_s[rs, ss, :e] = parts["senders"][rs][sel] - ss * n_loc
+            out_r[rs, ss, :e] = parts["receivers"][rs][sel]
+            out_a[rs, ss, :e] = parts["edge_attr"][rs][sel]
+            out_m[rs, ss, :e] = True
+    return {
+        "x": parts["x"],
+        "senders": out_s,
+        "receivers": out_r,
+        "edge_attr": out_a,
+        "edge_mask": out_m,
+        "node_mask": parts["node_mask"],
+    }
+
+
+def ring_conv_local(x_loc, senders_by_src, receivers_by_src, attr_by_src,
+                    mask_by_src, kernel_params, *, axis: str,
+                    in_channels: int, out_channels: int,
+                    aggr: str = "mean", root=None, bias=None):
+    """Ring halo exchange (inside shard_map): instead of all-gathering the
+    full node array, rotate [n_loc, w] feature blocks around the ring with
+    ppermute; at step t each device holds shard (me - t) mod S and
+    processes exactly the edge bucket whose senders live there. Peak
+    memory is one block; communication overlaps the bucket compute."""
+    from ..ops.edge_conv import _kernel_messages
+    from ..ops.segment import segment_sum
+
+    S = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    n_loc = x_loc.shape[0]
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def body(t, carry):
+        block, acc, cnt = carry
+        src = (me - t) % S
+        s_b = jnp.take(senders_by_src, src, axis=0)
+        r_b = jnp.take(receivers_by_src, src, axis=0)
+        a_b = jnp.take(attr_by_src, src, axis=0)
+        m_b = jnp.take(mask_by_src, src, axis=0)
+        msg = _kernel_messages(block[s_b], a_b, kernel_params,
+                               in_channels, out_channels, "full", None)
+        m = m_b.astype(msg.dtype)
+        acc = acc + segment_sum(msg * m[:, None], r_b, n_loc,
+                                indices_are_sorted=False)
+        cnt = cnt + segment_sum(m, r_b, n_loc, indices_are_sorted=False)
+        block = jax.lax.ppermute(block, axis, perm)
+        return block, acc, cnt
+
+    # mark the accumulators as varying over the manual mesh axis so the
+    # fori_loop carry type matches its (device-varying) outputs
+    acc0 = jax.lax.pvary(jnp.zeros((n_loc, out_channels), jnp.float32),
+                         axis)
+    cnt0 = jax.lax.pvary(jnp.zeros((n_loc,), jnp.float32), axis)
+    init = (x_loc, acc0, cnt0)
+    _, acc, cnt = jax.lax.fori_loop(0, S, body, init)
+    if aggr == "mean":
+        out = acc / jnp.maximum(cnt, 1.0)[:, None]
+    else:
+        out = acc
+    if root is not None:
+        out = out + x_loc @ root
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def gkn_apply_node_sharded_ring(params, cfg, parts, mesh: Mesh,
+                                axis: str = "data"):
+    """GKN forward with ring-halo node sharding (parts from
+    partition_graph_ring, leading axis sharded over `axis`)."""
+    from jax import shard_map
+
+    def body(x, senders, receivers, edge_attr, edge_mask):
+        x = x[0]
+        senders, receivers = senders[0], receivers[0]
+        edge_attr, edge_mask = edge_attr[0], edge_mask[0]
+        h = x @ params["fc1"]["w"] + params["fc1"]["b"]
+        for t in range(cfg.depth):
+            h = ring_conv_local(
+                h, senders, receivers, edge_attr, edge_mask,
+                params["kernel"], axis=axis, in_channels=cfg.width,
+                out_channels=cfg.width, aggr=cfg.aggr,
+                root=params.get("root"), bias=params.get("bias"))
+            if t != cfg.depth - 1 or cfg.relu_last:
+                h = jax.nn.relu(h)
+        if cfg.decoder_mlp:
+            h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
+            h = h @ params["fc3"]["w"] + params["fc3"]["b"]
+        else:
+            h = h @ params["fc2"]["w"] + params["fc2"]["b"]
+        return h[None]
+
+    spec = P(axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=spec,
+    )
+    out = fn(parts["x"], parts["senders"], parts["receivers"],
+             parts["edge_attr"], parts["edge_mask"])
+    return out.reshape(-1, out.shape[-1])
+
+
 __all__ = [
     "partition_graph",
+    "partition_graph_ring",
     "node_sharded_conv_local",
+    "ring_conv_local",
     "gkn_apply_node_sharded",
+    "gkn_apply_node_sharded_ring",
 ]
