@@ -258,11 +258,20 @@ def build_multilevel_graph(
 
     mid = _pad_edge_segments(mid_local, mid_attrs, mid_caps, level_sizes,
                              edge_multiple)
-    glob_sizes = [n_tot] * max(len(down_edges), 1)
-    down = _pad_edge_segments(down_edges, down_attrs, down_caps, glob_sizes,
-                              edge_multiple)
-    up = _pad_edge_segments(up_edges, up_attrs, up_caps, glob_sizes,
-                            edge_multiple)
+    if len(down_edges) == 0:
+        # single-level graphs (the neurips2_MGKN ablation) have no
+        # inter-level edges; keep zero-size placeholders
+        a_dim = mid[2].shape[1]
+        empty = (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                 np.zeros((0, a_dim), np.float32), np.zeros(0, bool),
+                 (), ())
+        down = up = empty
+    else:
+        glob_sizes = [n_tot] * len(down_edges)
+        down = _pad_edge_segments(down_edges, down_attrs, down_caps,
+                                  glob_sizes, edge_multiple)
+        up = _pad_edge_segments(up_edges, up_attrs, up_caps, glob_sizes,
+                                edge_multiple)
 
     yp = None
     if y is not None:

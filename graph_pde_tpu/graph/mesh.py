@@ -285,9 +285,12 @@ class RandomMultiMeshGenerator:
             self.n_edges_inter.append(ei.shape[1])
             index += self.grid_sample[l].shape[0]
 
+        empty = np.zeros((2, 0), np.int64)
         return (np.concatenate(self.edge_index, axis=1),
-                np.concatenate(self.edge_index_down, axis=1),
-                np.concatenate(self.edge_index_up, axis=1))
+                np.concatenate(self.edge_index_down, axis=1)
+                if self.edge_index_down else empty,
+                np.concatenate(self.edge_index_up, axis=1)
+                if self.edge_index_up else empty)
 
     def get_edge_index_range(self):
         rng_mid = np.zeros((self.level, 2), np.int64)
@@ -318,9 +321,11 @@ class RandomMultiMeshGenerator:
                 self.grid_sample_all, self.edge_index_down[l], theta=th))
             attr_up.append(build.edge_attributes(
                 self.grid_sample_all, self.edge_index_up[l], theta=th))
+        d_cols = attr[0].shape[1]
+        empty = np.zeros((0, d_cols), np.float32)
         return (np.concatenate(attr, axis=0),
-                np.concatenate(attr_down, axis=0),
-                np.concatenate(attr_up, axis=0))
+                np.concatenate(attr_down, axis=0) if attr_down else empty,
+                np.concatenate(attr_up, axis=0) if attr_up else empty)
 
 
 __all__ = [

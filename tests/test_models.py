@@ -229,3 +229,29 @@ def test_gcn_model_forward():
     out = gcn_apply(params, cfg, g)
     assert out.shape == (32, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mgkn_single_level():
+    """neurips2_MGKN-style single-level ablation: no inter-level edges."""
+    from graph_pde_tpu.graph import RandomMultiMeshGenerator, \
+        build_multilevel_graph
+
+    gen = RandomMultiMeshGenerator([[0, 1], [0, 1]], [8, 8], level=1,
+                                   sample_sizes=[30], seed=0)
+    idx, idx_all = gen.sample()
+    gen.ball_connectivity([0.3], [])
+    rng = np.random.default_rng(0)
+    theta = rng.normal(size=64).astype(np.float32)
+    attr, attr_down, attr_up = gen.attributes(theta=theta)
+    assert attr_down.shape[0] == 0
+    x = np.concatenate([gen.grid_sample_all,
+                        theta[idx_all][:, None]], axis=1)
+    g = build_multilevel_graph(x, [30], gen.edge_index, [attr], [], [],
+                               [], [], y=rng.normal(size=(30, 1)))
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30,), variant="induced",
+                            impl="reference")
+    params = mgkn_general_init(jax.random.PRNGKey(0), cfg)
+    out = mgkn_general_apply(params, cfg, g)
+    assert out.shape == (30, 1)
+    assert np.isfinite(np.asarray(out)).all()
