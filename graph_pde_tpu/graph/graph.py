@@ -49,6 +49,12 @@ class Graph:
     n_edge: jnp.ndarray
     y: Optional[jnp.ndarray] = None
     sample_idx: Optional[jnp.ndarray] = None
+    # blocked-CSR layout (node_block > 0): edges are grouped per node
+    # block (receiver-sorted runs padded to a common per-block capacity),
+    # enabling MXU one-hot aggregation at any N. edge_valid is the
+    # explicit mask (validity is no longer a prefix).
+    edge_valid: Optional[jnp.ndarray] = None
+    node_block: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -62,6 +68,8 @@ class Graph:
         return jnp.arange(self.num_nodes_padded) < self.n_node
 
     def edge_mask(self):
+        if self.edge_valid is not None:
+            return self.edge_valid
         return jnp.arange(self.num_edges_padded) < self.n_edge
 
 
@@ -77,12 +85,20 @@ def build_graph(
     edge_multiple: int = 512,
     y: Optional[np.ndarray] = None,
     sample_idx: Optional[np.ndarray] = None,
+    node_block: int = 0,
+    block_edge_cap: Optional[int] = None,
 ) -> Graph:
     """Pads and sorts host-side numpy arrays into a ``Graph``.
 
     Edges are sorted by (receiver, sender). Capacities default to the
     actual sizes rounded up to ``node_multiple`` / ``edge_multiple`` to
     bound XLA recompilation across samples.
+
+    With ``node_block`` set, emits the blocked-CSR layout: nodes are
+    grouped into blocks of that size and each block's (contiguous,
+    receiver-sorted) edge run is padded to a common per-block capacity —
+    the layout the MXU one-hot aggregation path needs at large N
+    (ops/segment.py blocked path).
     """
     x = np.asarray(x, np.float32)
     if x.ndim == 1:
@@ -102,9 +118,48 @@ def build_graph(
     receivers = receivers[order]
     edge_attr = edge_attr[order]
 
-    n_pad = n_node_pad if n_node_pad is not None else round_up(max(n, 1), node_multiple)
-    e_pad = n_edge_pad if n_edge_pad is not None else round_up(max(e, 1), edge_multiple)
+    if node_block:
+        n_pad = round_up(n_node_pad or n, node_block)
+    else:
+        n_pad = (n_node_pad if n_node_pad is not None
+                 else round_up(max(n, 1), node_multiple))
     assert n_pad >= n, f"node capacity {n_pad} < {n}"
+
+    ev = None
+    if node_block:
+        n_blocks = n_pad // node_block
+        starts = np.searchsorted(receivers,
+                                 np.arange(n_blocks) * node_block)
+        ends = np.append(starts[1:], e)
+        per_block = ends - starts
+        eb = block_edge_cap or round_up(int(per_block.max()),
+                                        edge_multiple)
+        assert eb >= per_block.max(), \
+            f"block edge capacity {eb} < {per_block.max()}"
+        e_pad = n_blocks * eb
+        sp = np.zeros((e_pad,), np.int32)
+        rp = np.zeros((e_pad,), np.int32)
+        ap = np.zeros((e_pad, a), np.float32)
+        ev = np.zeros((e_pad,), bool)
+        for b in range(n_blocks):
+            cnt = per_block[b]
+            o = b * eb
+            sp[o:o + cnt] = senders[starts[b]:ends[b]]
+            rp[o:o + cnt] = receivers[starts[b]:ends[b]]
+            # padding inside block b parks on the block's last node
+            rp[o + cnt:o + eb] = (b + 1) * node_block - 1
+            ap[o:o + cnt] = edge_attr[starts[b]:ends[b]]
+            ev[o:o + cnt] = True
+        xp = np.zeros((n_pad, f), np.float32)
+        xp[:n] = x
+        yp = _pad_y(y, n_pad)
+        sip = _pad_sample_idx(sample_idx, n_pad)
+        return Graph(x=xp, senders=sp, receivers=rp, edge_attr=ap,
+                     n_node=np.int32(n), n_edge=np.int32(e), y=yp,
+                     sample_idx=sip, edge_valid=ev, node_block=node_block)
+
+    e_pad = (n_edge_pad if n_edge_pad is not None
+             else round_up(max(e, 1), edge_multiple))
     assert e_pad >= e, f"edge capacity {e_pad} < {e}"
 
     xp = np.zeros((n_pad, f), np.float32)
@@ -116,19 +171,8 @@ def build_graph(
     ap = np.zeros((e_pad, a), np.float32)
     ap[:e] = edge_attr
 
-    yp = None
-    if y is not None:
-        y = np.asarray(y, np.float32)
-        if y.ndim == 1:
-            y = y[:, None]
-        yp = np.zeros((n_pad, y.shape[1]), np.float32)
-        yp[: y.shape[0]] = y
-
-    sip = None
-    if sample_idx is not None:
-        sample_idx = np.asarray(sample_idx, np.int32).reshape(-1)
-        sip = np.zeros((n_pad,), np.int32)
-        sip[: sample_idx.shape[0]] = sample_idx
+    yp = _pad_y(y, n_pad)
+    sip = _pad_sample_idx(sample_idx, n_pad)
 
     return Graph(
         x=xp,
@@ -140,6 +184,26 @@ def build_graph(
         y=yp,
         sample_idx=sip,
     )
+
+
+def _pad_y(y, n_pad):
+    if y is None:
+        return None
+    y = np.asarray(y, np.float32)
+    if y.ndim == 1:
+        y = y[:, None]
+    yp = np.zeros((n_pad, y.shape[1]), np.float32)
+    yp[: y.shape[0]] = y
+    return yp
+
+
+def _pad_sample_idx(sample_idx, n_pad):
+    if sample_idx is None:
+        return None
+    sample_idx = np.asarray(sample_idx, np.int32).reshape(-1)
+    sip = np.zeros((n_pad,), np.int32)
+    sip[: sample_idx.shape[0]] = sample_idx
+    return sip
 
 
 @struct.dataclass

@@ -89,7 +89,8 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             params["kernel"],
             in_channels=cfg.width, out_channels=cfg.width, aggr=cfg.aggr,
             root=params.get("root"), bias=params.get("bias"),
-            impl=cfg.impl, compute_dtype=dtype)
+            impl=cfg.impl, compute_dtype=dtype,
+            node_block=graph.node_block)
         if t != cfg.depth - 1 or cfg.relu_last:
             x = jax.nn.relu(x)
     if cfg.decoder_mlp:

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from .dense import dense_apply
-from .segment import masked_segment_mean, masked_segment_sum, gather_rows
+from .segment import (masked_segment_mean, masked_segment_sum,
+                      blocked_segment_mean, gather_rows)
 
 _REFERENCE_MAX_KERNEL_ELEMS = 64 * 1024 * 1024  # E * w_in * w_out threshold
 
@@ -77,6 +78,7 @@ def edge_kernel_conv(
     impl: str = "auto",
     chunk_size: int = 1024,
     compute_dtype=None,
+    node_block: int = 0,
 ) -> jnp.ndarray:
     """Applies the edge-conditioned convolution on one padded graph.
 
@@ -116,7 +118,10 @@ def edge_kernel_conv(
                                out_channels, kernel_type, compute_dtype)
 
     msg = msg.astype(jnp.float32)
-    if aggr == "mean":
+    if node_block:
+        out = blocked_segment_mean(msg, receivers, edge_mask, n,
+                                   node_block, aggr=aggr)
+    elif aggr == "mean":
         out = masked_segment_mean(msg, receivers, edge_mask, n)
     else:
         out = masked_segment_sum(msg, receivers, edge_mask, n)

@@ -97,6 +97,34 @@ def segment_degrees(segment_ids, mask, num_segments: int,
                        indices_are_sorted)
 
 
+def blocked_segment_mean(data, receivers, mask, num_segments: int,
+                         node_block: int, aggr: str = "mean"):
+    """MXU segment reduction for the blocked-CSR layout (graph.build_graph
+    with node_block set): edges come grouped per node block with local
+    receivers in [b*nb, (b+1)*nb), so the one-hot is block-local —
+    [n_blocks, eb, nb] instead of [E, N] — bounded at any N.
+    """
+    e_pad = receivers.shape[0]
+    n_blocks = num_segments // node_block
+    eb = e_pad // n_blocks
+    m = mask.astype(data.dtype)
+    aug = jnp.concatenate([data * m[:, None], m[:, None]], axis=1)
+    aug = aug.reshape(n_blocks, eb, -1)
+    recv_local = (receivers.reshape(n_blocks, eb)
+                  - (jnp.arange(n_blocks) * node_block)[:, None])
+    seg = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, eb, node_block), 2)
+    oh = (recv_local[:, :, None] == seg).astype(data.dtype)
+    out = jax.lax.dot_general(
+        oh, aug, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [n_blocks, nb, w+1]
+    out = out.reshape(num_segments, -1)
+    total = out[:, :-1]
+    if aggr == "mean":
+        counts = jnp.maximum(out[:, -1:], 1.0)
+        return (total / counts).astype(data.dtype)
+    return total.astype(data.dtype)
+
+
 def gather_rows(x, idx, method: str = "auto"):
     """x[idx] — as a one-hot matmul when small enough (XLA TPU gather on
     row indices is slow for the same reason scatter is)."""
@@ -112,5 +140,7 @@ __all__ = [
     "segment_sum",
     "masked_segment_sum",
     "masked_segment_mean",
+    "blocked_segment_mean",
     "segment_degrees",
+    "gather_rows",
 ]
