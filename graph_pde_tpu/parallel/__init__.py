@@ -1,4 +1,5 @@
 from .mesh import make_mesh, default_mesh_shape
+from .distributed import initialize, is_multiprocess
 from .sharding import (
     batch_spec,
     batch_sharding,
@@ -11,7 +12,7 @@ from .halo import (partition_graph, partition_graph_ring,
                    gkn_apply_node_sharded_ring)
 
 __all__ = [
-    "make_mesh", "default_mesh_shape",
+    "make_mesh", "default_mesh_shape", "initialize", "is_multiprocess",
     "batch_spec", "batch_sharding", "param_specs", "param_sharding",
     "replicated_sharding",
     "partition_graph", "partition_graph_ring",

@@ -43,3 +43,16 @@ def test_cli_list_and_smoke_run(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "neurips1_gkn" in out
+
+
+def test_sweep_configs():
+    from graph_pde_tpu.experiments import sweep_configs
+
+    cfgs = sweep_configs("uai6_sample_radius")
+    assert len(cfgs) == 9  # 3 m x 3 radius
+    assert {c.radius_train for c in cfgs} == {0.05, 0.15, 0.4}
+    # tiny smoke of one swept point
+    from graph_pde_tpu.experiments import run_experiment
+    import numpy as np
+    res = run_experiment(cfgs[0], smoke=True)
+    assert np.isfinite(res["train_l2"][-1])
