@@ -53,8 +53,11 @@ def make_step(cfg, task, lr=1e-4):
 
 def time_epoch(params, tx, step, graphs, batch_size, n_warmup=1, n_epochs=3):
     """Per-step dispatch loop (reference-style execution)."""
+    import jax
+    import jax.numpy as jnp
     from graph_pde_tpu.data import batch_iterator
 
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a) + 0, params)
     opt_state = tx.init(params)
     rng = np.random.default_rng(0)
 
@@ -85,7 +88,10 @@ def time_epoch_scanned(params, task, graphs, batch_size, lr=1e-4,
     from graph_pde_tpu.train.optim import adam_steplr
 
     import jax
+    import jax.numpy as jnp
 
+    # the jitted epoch donates param buffers; keep the caller's copy alive
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a) + 0, params)
     tx = adam_steplr(lr, weight_decay=5e-4, steps_per_epoch=1)
     opt_state = tx.init(params)
     epoch_fn = make_epoch_fn(task, tx)

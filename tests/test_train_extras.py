@@ -31,14 +31,17 @@ def test_scanned_epoch_matches_stepwise(setup):
     step = make_train_step(task, tx)
     epoch_fn = make_epoch_fn(task, tx)
 
+    def copy(p):
+        return jax.tree_util.tree_map(lambda a: a + 0, p)
+
     batches = stack_epoch(graphs, 2)  # no shuffle -> same order
-    # stepwise
-    p1, o1 = params, tx.init(params)
+    # stepwise (the jitted step donates its inputs; use private copies)
+    p1, o1 = copy(params), tx.init(params)
     for i in range(batches.x.shape[0]):
         b = jax.tree_util.tree_map(lambda a: a[i], batches)
         p1, o1, _ = step(p1, o1, b)
     # scanned
-    p2, o2, loss, l2 = epoch_fn(params, tx.init(params), batches)
+    p2, o2, loss, l2 = epoch_fn(copy(params), tx.init(params), batches)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
