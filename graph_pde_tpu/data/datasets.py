@@ -220,16 +220,21 @@ def darcy_mgkn_graphs(
                         [e.copy() for e in gen.edge_index_up], up_attrs,
                         y, idx[0]))
 
+    # provided caps are MINIMUMS: random radius graphs have sample-dependent
+    # edge counts, so another sample set (test/eval) may exceed caps fitted
+    # to the training set; growing them recompiles but stays correct
+    need_mid = tuple(
+        round_up(max(r[1][l].shape[1] for r in raw), edge_multiple)
+        for l in range(level))
+    need_down = tuple(
+        round_up(max(r[3][l].shape[1] for r in raw), edge_multiple)
+        for l in range(level - 1))
     if caps is None:
-        mid_caps = tuple(
-            round_up(max(r[1][l].shape[1] for r in raw), edge_multiple)
-            for l in range(level))
-        down_caps = tuple(
-            round_up(max(r[3][l].shape[1] for r in raw), edge_multiple)
-            for l in range(level - 1))
-        up_caps = down_caps
+        mid_caps, down_caps, up_caps = need_mid, need_down, need_down
     else:
-        mid_caps, down_caps, up_caps = caps
+        mid_caps = tuple(max(a, b) for a, b in zip(caps[0], need_mid))
+        down_caps = tuple(max(a, b) for a, b in zip(caps[1], need_down))
+        up_caps = tuple(max(a, b) for a, b in zip(caps[2], need_down))
     graphs = [
         build_multilevel_graph(
             x, points, mid_e, mid_a, down_e, down_a, up_e, up_a,

@@ -171,14 +171,19 @@ class RandomMultiMeshSplitter:
             raw.append((x, mid_e, mid_a, down_e, down_a, up_e, up_a,
                         idx[0]))
 
+        # provided caps are minimums (edge counts vary per split/sample)
+        need_mid = tuple(
+            round_up(max(r[1][l].shape[1] for r in raw), edge_multiple)
+            for l in range(self.level))
+        need_down = tuple(
+            round_up(max(r[3][l].shape[1] for r in raw), edge_multiple)
+            for l in range(self.level - 1))
         if caps is None:
-            mid_caps = tuple(
-                round_up(max(r[1][l].shape[1] for r in raw), edge_multiple)
-                for l in range(self.level))
-            down_caps = tuple(
-                round_up(max(r[3][l].shape[1] for r in raw), edge_multiple)
-                for l in range(self.level - 1))
-            caps = (mid_caps, down_caps, down_caps)
+            caps = (need_mid, need_down, need_down)
+        else:
+            caps = (tuple(max(a, b) for a, b in zip(caps[0], need_mid)),
+                    tuple(max(a, b) for a, b in zip(caps[1], need_down)),
+                    tuple(max(a, b) for a, b in zip(caps[2], need_down)))
         graphs = [
             build_multilevel_graph(
                 x, self.ms, mid_e, mid_a, down_e, down_a, up_e, up_a,
