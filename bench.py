@@ -122,10 +122,11 @@ def main():
 
     kernel_layers = GKNConfig.kernel_nn3_layers(6, 256, 64)
 
-    # optimized: batched, auto conv impl
+    # optimized: batched, kernel matrices computed once per forward and
+    # reused across the depth iterations (kappa depends only on edge_attr)
     cfg_opt = GKNConfig(width=64, ker_width=256, depth=4, ker_in=6,
                         in_width=6, kernel_layers=kernel_layers,
-                        relu_last=False, impl="auto")
+                        relu_last=False, impl="kcached")
     params = gkn_init(jax.random.PRNGKey(0), cfg_opt)
     task = GKNTask(cfg_opt, u_normalizer=arrays.u_normalizer,
                    loss_type="mse")

@@ -83,6 +83,41 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
     x = graph.x @ params["fc1"]["w"] + params["fc1"]["b"]
     edge_mask = graph.edge_mask()
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    if cfg.impl == "kcached":
+        # kappa(e) depends only on edge_attr — it is invariant across the
+        # depth iterations (the reference recomputes nn(pseudo) every
+        # call, nn_conv.py:274). Compute the kernel matrices ONCE and
+        # reuse; trades HBM for the per-iteration kernel-MLP GEMMs.
+        # Gated by memory: E * width^2 must fit comfortably.
+        from ..ops.dense import dense_apply
+        from ..ops.segment import (gather_rows, masked_segment_mean,
+                                   blocked_segment_mean)
+
+        e = graph.senders.shape[0]
+        k_dtype = jnp.bfloat16 if dtype is not None else jnp.float32
+        kk = dense_apply(params["kernel"], graph.edge_attr)
+        kk = kk.reshape(e, cfg.width, cfg.width).astype(k_dtype)
+        for t in range(cfg.depth):
+            xj = gather_rows(x, graph.senders)
+            msg = jnp.einsum("ei,eio->eo", xj.astype(k_dtype), kk,
+                             preferred_element_type=jnp.float32)
+            if graph.node_block:
+                out = blocked_segment_mean(msg, graph.receivers, edge_mask,
+                                           x.shape[0], graph.node_block,
+                                           aggr=cfg.aggr)
+            else:
+                out = masked_segment_mean(msg, graph.receivers, edge_mask,
+                                          x.shape[0])
+            if "root" in params:
+                out = out + x @ params["root"]
+            if "bias" in params:
+                out = out + params["bias"]
+            x = out
+            if t != cfg.depth - 1 or cfg.relu_last:
+                x = jax.nn.relu(x)
+        return _gkn_decode(params, cfg, x)
+
     for t in range(cfg.depth):
         x = edge_kernel_conv(
             x, graph.senders, graph.receivers, graph.edge_attr, edge_mask,
@@ -93,6 +128,10 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             node_block=graph.node_block)
         if t != cfg.depth - 1 or cfg.relu_last:
             x = jax.nn.relu(x)
+    return _gkn_decode(params, cfg, x)
+
+
+def _gkn_decode(params, cfg: GKNConfig, x):
     if cfg.decoder_mlp:
         x = jax.nn.relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
         x = x @ params["fc3"]["w"] + params["fc3"]["b"]

@@ -255,3 +255,25 @@ def test_mgkn_single_level():
     out = mgkn_general_apply(params, cfg, g)
     assert out.shape == (30, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gkn_kcached_matches_reference_impl():
+    """impl='kcached' (kernel matrices computed once, reused across depth)
+    must equal the per-iteration implementations."""
+    import dataclasses
+    g = _tiny_gkn_graph()
+    cfg_ref = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6,
+                        in_width=3, impl="reference")
+    params = gkn_init(jax.random.PRNGKey(30), cfg_ref)
+    cfg_kc = dataclasses.replace(cfg_ref, impl="kcached")
+    o_ref = gkn_apply(params, cfg_ref, g)
+    o_kc = gkn_apply(params, cfg_kc, g)
+    np.testing.assert_allclose(np.asarray(o_kc), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
+    # grads too
+    g_ref = jax.grad(lambda p: jnp.sum(gkn_apply(p, cfg_ref, g) ** 2))(params)
+    g_kc = jax.grad(lambda p: jnp.sum(gkn_apply(p, cfg_kc, g) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_kc)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
