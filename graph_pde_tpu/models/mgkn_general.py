@@ -92,8 +92,23 @@ def mgkn_general_init(key, cfg: MGKNGeneralConfig):
     return params
 
 
-def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l):
+def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l,
+          kk=None):
     r0, r1 = ranges[l]
+    if kk is not None:
+        # kernel matrices precomputed once per forward (impl='kcached'):
+        # kappa depends only on edge_attr, which is fixed across the
+        # depth-T V-cycles
+        from ..ops.segment import gather_rows, masked_segment_mean
+
+        xj = gather_rows(x, senders[r0:r1])
+        msg = jnp.einsum("ei,eio->eo", xj.astype(kk.dtype), kk,
+                         preferred_element_type=jnp.float32)
+        out = masked_segment_mean(msg, receivers[r0:r1], mask[r0:r1],
+                                  x.shape[0])
+        if "root" in conv_params:
+            out = out + x @ conv_params["root"]
+        return out
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     return edge_kernel_conv(
         x, senders[r0:r1], receivers[r0:r1], attr[r0:r1], mask[r0:r1],
@@ -101,6 +116,29 @@ def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l):
         in_channels=cfg.width, out_channels=cfg.width, aggr="mean",
         root=conv_params.get("root"), bias=None,
         impl=cfg.impl, compute_dtype=dtype)
+
+
+def _precompute_kernels(params, cfg, g: MultiLevelGraph):
+    """impl='kcached': evaluate every conv's kappa MLP once."""
+    from ..ops.dense import dense_apply
+
+    k_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+
+    def kap(conv_params, attr, ranges, l):
+        r0, r1 = ranges[l]
+        kk = dense_apply(conv_params["kernel"], attr[r0:r1])
+        return kk.reshape(r1 - r0, cfg.width, cfg.width).astype(k_dtype)
+
+    level = cfg.level
+    return {
+        "down": [kap(params["conv_down"][l], g.down_attr, g.down_ranges, l)
+                 for l in range(level - 1)],
+        "mid": [kap(params["conv_mid"][l], g.mid_attr, g.mid_ranges, l)
+                for l in range(level)],
+        "up": [kap(params["conv_up"][l], g.up_attr, g.up_ranges, l)
+               for l in range(level - 1)],
+    }
 
 
 def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
@@ -111,12 +149,18 @@ def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
     offs = cfg.offsets()
     x = g.x @ params["fc_in"]["w"] + params["fc_in"]["b"]
 
+    kks = (_precompute_kernels(params, cfg, g)
+           if cfg.impl == "kcached" else None)
+
+    def kk_of(kind, l):
+        return kks[kind][l] if kks is not None else None
+
     for _ in range(cfg.depth):
         # downward pass: residual K_{l,l+1} + ReLU
         for l in range(level - 1):
             x = x + _conv(x, g.down_senders, g.down_receivers, g.down_attr,
                           g.down_mask, params["conv_down"][l], cfg,
-                          g.down_ranges, l)
+                          g.down_ranges, l, kk=kk_of("down", l))
             x = jax.nn.relu(x)
         # upward pass
         for l in reversed(range(level)):
@@ -126,7 +170,8 @@ def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
                 x_slice = x[offs[l]:offs[l + 1]]
                 new_slice = _conv(x_slice, g.mid_senders, g.mid_receivers,
                                   g.mid_attr, g.mid_mask,
-                                  params["conv_mid"][l], cfg, g.mid_ranges, l)
+                                  params["conv_mid"][l], cfg, g.mid_ranges,
+                                  l, kk=kk_of("mid", l))
                 x = x.at[offs[l]:offs[l + 1]].set(new_slice)
             else:
                 # residual K_ll on the full array + ReLU
@@ -135,13 +180,14 @@ def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
                 x_slice = x[offs[l]:offs[l + 1]]
                 delta = _conv(x_slice, g.mid_senders, g.mid_receivers,
                               g.mid_attr, g.mid_mask,
-                              params["conv_mid"][l], cfg, g.mid_ranges, l)
+                              params["conv_mid"][l], cfg, g.mid_ranges, l,
+                              kk=kk_of("mid", l))
                 x = x.at[offs[l]:offs[l + 1]].add(delta)
                 x = jax.nn.relu(x)
             if l > 0:
                 x = x + _conv(x, g.up_senders, g.up_receivers, g.up_attr,
                               g.up_mask, params["conv_up"][l - 1], cfg,
-                              g.up_ranges, l - 1)
+                              g.up_ranges, l - 1, kk=kk_of("up", l - 1))
                 x = jax.nn.relu(x)
 
     # decode finest level only

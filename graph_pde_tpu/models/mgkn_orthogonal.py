@@ -88,7 +88,17 @@ def mgkn_orthogonal_init(key, cfg: MGKNOrthogonalConfig):
     return params
 
 
-def _conv(x, g: MultipoleGraph1D, conv_params, cfg, idx: int):
+def _conv(x, g: MultipoleGraph1D, conv_params, cfg, idx: int, kk=None):
+    if kk is not None:
+        from ..ops.segment import gather_rows, masked_segment_mean
+
+        e = g.senders[idx].shape[0]
+        xj = gather_rows(x, g.senders[idx])
+        msg = jnp.einsum("ei,eio->eo", xj.astype(kk.dtype), kk,
+                         preferred_element_type=jnp.float32)
+        out = masked_segment_mean(msg, g.receivers[idx],
+                                  jnp.ones((e,), bool), x.shape[0])
+        return out + x @ conv_params["root"] + conv_params["bias"]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     e = g.senders[idx].shape[0]
     return edge_kernel_conv(
@@ -103,6 +113,25 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
                           g: MultipoleGraph1D) -> jnp.ndarray:
     level = cfg.level
     x = g.x @ params["fc1"]["w"] + params["fc1"]["b"]
+
+    kks = None
+    if cfg.impl == "kcached":
+        # kappa is fixed across the depth V-cycles; evaluate each level's
+        # kernel MLP once (see models/gkn.py kcached notes)
+        from ..ops.dense import dense_apply
+
+        k_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+        kks = []
+        for idx in range(level + 1):
+            a = g.attrs[idx]
+            kk = dense_apply(params["conv"][idx]["kernel"], a)
+            kks.append(kk.reshape(a.shape[0], cfg.width,
+                                  cfg.width).astype(k_dtype))
+
+    def kk_of(idx):
+        return kks[idx] if kks is not None else None
+
     for _ in range(cfg.depth):
         phi = [None] * level
         for l in range(level):
@@ -111,15 +140,17 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
                 x = avg_pool_1d(x, 2)
         # coarsest: interactive edges of the deepest level
         x = jax.nn.relu(x + _conv(phi[-1], g, params["conv"][-1], cfg,
-                                  level))
+                                  level, kk=kk_of(level)))
         for l in reversed(range(level)):
             if l != 0:
                 x = upsample_nearest_1d(x, 2)
                 x = jax.nn.relu(
-                    x + _conv(phi[l - 1], g, params["conv"][l], cfg, l))
+                    x + _conv(phi[l - 1], g, params["conv"][l], cfg, l,
+                              kk=kk_of(l)))
             else:
                 x = jax.nn.relu(
-                    x + _conv(phi[0], g, params["conv"][0], cfg, 0))
+                    x + _conv(phi[0], g, params["conv"][0], cfg, 0,
+                              kk=kk_of(0)))
     x = jax.nn.relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
     return x @ params["fc3"]["w"] + params["fc3"]["b"]
 

@@ -277,3 +277,29 @@ def test_gkn_kcached_matches_reference_impl():
                     jax.tree_util.tree_leaves(g_kc)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_mgkn_kcached_parity():
+    import dataclasses
+    g = _tiny_multilevel()
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30, 15, 8),
+                            impl="reference")
+    params = mgkn_general_init(jax.random.PRNGKey(31), cfg)
+    o_ref = mgkn_general_apply(params, cfg, g)
+    o_kc = mgkn_general_apply(
+        params, dataclasses.replace(cfg, impl="kcached"), g)
+    np.testing.assert_allclose(np.asarray(o_kc), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # orthogonal variant
+    s = 16
+    go = _tiny_multipole1d(s)
+    cfg_o = MGKNOrthogonalConfig(width=8, ker_width=32, depth=2, ker_in=4,
+                                 in_width=2, s=s, impl="reference")
+    params_o = mgkn_orthogonal_init(jax.random.PRNGKey(32), cfg_o)
+    o1 = mgkn_orthogonal_apply(params_o, cfg_o, go)
+    o2 = mgkn_orthogonal_apply(
+        params_o, dataclasses.replace(cfg_o, impl="kcached"), go)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-4, atol=1e-5)
