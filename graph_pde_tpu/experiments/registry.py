@@ -46,6 +46,11 @@ class ExperimentConfig:
     ker_width: int = 256
     depth: int = 4
     kernel_variant: str = "nn3"       # 'nn' | 'nn3' | 'nn5'
+    impl: str = "kcached"             # conv impl: kcached | auto | pallas |
+    #                                   scan | reference (kcached = kernel
+    #                                   matrices computed once per forward;
+    #                                   use 'auto' when E*width^2 is too
+    #                                   large for HBM, e.g. full 241 grids)
     relu_last: bool = False
     decoder_mlp: bool = False
     mgkn_variant: str = "mkgn"

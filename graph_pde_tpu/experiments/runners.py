@@ -115,7 +115,7 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
         ker_in=ker_in, in_width=in_width,
         kernel_layers=_kernel_layers(cfg, ker_in),
         relu_last=(cfg.relu_last or cfg.kernel_variant == "nn"),
-        decoder_mlp=cfg.decoder_mlp)
+        decoder_mlp=cfg.decoder_mlp, impl=cfg.impl)
     params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
     # per-node (unit) stats must be gathered at each node's grid index;
     # padded node arrays make direct broadcasting impossible
@@ -362,7 +362,7 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
     mcfg = MGKNGeneralConfig(
         width=cfg.width, ker_width=cfg.ker_width, depth=cfg.depth,
         ker_in=6, in_width=6, points=tuple(cfg.points),
-        variant=cfg.mgkn_variant)
+        variant=cfg.mgkn_variant, impl=cfg.impl)
     params = mgkn_general_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNGeneralTask(mcfg, u_normalizer=arrays.u_normalizer,
                            loss_type=cfg.loss)
@@ -458,7 +458,7 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
 
     mcfg = MGKNOrthogonalConfig(width=cfg.width, ker_width=cfg.ker_width,
                                 depth=cfg.depth, ker_in=4, in_width=2,
-                                s=arrays.s)
+                                s=arrays.s, impl=cfg.impl)
     params = mgkn_orthogonal_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNOrthogonalTask(mcfg, u_normalizer=arrays.u_normalizer,
                               loss_type=cfg.loss)
