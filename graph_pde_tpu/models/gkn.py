@@ -106,9 +106,14 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
                 out = blocked_segment_mean(msg, graph.receivers, edge_mask,
                                            x.shape[0], graph.node_block,
                                            aggr=cfg.aggr)
-            else:
+            elif cfg.aggr == "mean":
                 out = masked_segment_mean(msg, graph.receivers, edge_mask,
                                           x.shape[0])
+            else:
+                from ..ops.segment import masked_segment_sum
+
+                out = masked_segment_sum(msg, graph.receivers, edge_mask,
+                                         x.shape[0])
             if "root" in params:
                 out = out + x @ params["root"]
             if "bias" in params:
