@@ -158,16 +158,20 @@ def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
 
     out = {}
     for s_eval in cfg.eval_resolutions:
-        if cfg.data_path is None and (s_eval - 1) % (cfg.source_res - 1) == 0 \
-                or cfg.source_res < s_eval:
-            # need a source grid at least as fine as s_eval
-            fields = load_or_generate_darcy(
-                cfg.ntest, s_eval, seed=cfg.data_seed + 2)
-            r = 1
-        else:
+        derivable = (cfg.source_res >= s_eval
+                     and (cfg.source_res - 1) % (s_eval - 1) == 0)
+        if derivable:
+            # strided-downsample the SAME test fields — the reference
+            # evaluates identical samples at every resolution
+            # (UAI3_resolution.py:107-124)
             fields = _load_darcy_fields(cfg, cfg.ntest, cfg.test_data_path,
                                         cfg.data_seed + 2)
             r = (cfg.source_res - 1) // (s_eval - 1)
+        else:
+            # source grid cannot produce s_eval; generate at that grid
+            fields = load_or_generate_darcy(
+                cfg.ntest, s_eval, seed=cfg.data_seed + 2)
+            r = 1
         test_arrays, _ = prepare_darcy(
             fields, n=cfg.ntest, r=r, normalizers=norms,
             u_normalizer=arrays.u_normalizer)
