@@ -138,10 +138,12 @@ def darcy_gkn_graphs(
     encode_y: bool = True,
     edge_multiple: int = 512,
     n_edge_pad: Optional[int] = None,
+    node_block: int = 0,
 ) -> Graph:
     """Builds stacked GKN graphs. m=None -> full grid (UAI1 protocol,
     shared mesh across samples); m set -> Nystrom sampling with k graphs
-    per sample (neurips1_GKN.py:118-134)."""
+    per sample (neurips1_GKN.py:118-134). node_block > 0 emits the
+    blocked-CSR layout for MXU aggregation at large N."""
     s = arrays.s
     n = arrays.a.shape[0]
     raw = []
@@ -168,6 +170,20 @@ def darcy_gkn_graphs(
     e_max = max(r[1].shape[1] for r in raw)
     e_pad = n_edge_pad or round_up(e_max, edge_multiple)
     n_pad = round_up(raw[0][0].shape[0], 8)
+    if node_block:
+        # common per-block capacity across the batch
+        bec = 0
+        for (x, ei, attr, y, si) in raw:
+            g = build_graph(x, ei[0], ei[1], attr, node_block=node_block,
+                            edge_multiple=edge_multiple)
+            bec = max(bec, g.senders.shape[0] // (g.x.shape[0] // node_block))
+        graphs = [
+            build_graph(x, ei[0], ei[1], attr, y=y, sample_idx=si,
+                        n_node_pad=n_pad, node_block=node_block,
+                        block_edge_cap=bec, edge_multiple=edge_multiple)
+            for (x, ei, attr, y, si) in raw
+        ]
+        return stack_graphs(graphs)
     graphs = [
         build_graph(x, ei[0], ei[1], attr, y=y, sample_idx=si,
                     n_node_pad=n_pad, n_edge_pad=e_pad)
