@@ -7,6 +7,7 @@ from .tasks import GKNTask, GCNTask, MGKNGeneralTask, MGKNOrthogonalTask
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from .metrics import MetricsLogger, profile_trace, save_field_triptych
 from .trainer import make_epoch_fn, stack_epoch
+from .export import save_bundle, load_bundle
 
 __all__ = [
     "adam_steplr", "step_lr",
@@ -16,4 +17,5 @@ __all__ = [
     "save_checkpoint", "restore_checkpoint", "latest_step",
     "MetricsLogger", "profile_trace", "save_field_triptych",
     "make_epoch_fn", "stack_epoch",
+    "save_bundle", "load_bundle",
 ]

@@ -85,3 +85,26 @@ def test_triptych(tmp_path):
     if p is not None:
         import os
         assert os.path.exists(p)
+
+
+def test_model_bundle_roundtrip(tmp_path, setup):
+    from graph_pde_tpu.train import save_bundle, load_bundle
+    from graph_pde_tpu.utils import GaussianNormalizer
+
+    graphs, cfg, params, task = setup
+    norm = GaussianNormalizer(np.random.default_rng(0).normal(size=(4, 10)))
+    d = save_bundle(str(tmp_path / "bundle"), params, cfg,
+                    normalizers={"u": norm}, extra={"radius": 0.25})
+    p2, cfg2, norms, extra = load_bundle(d)
+    assert cfg2 == cfg
+    assert extra["radius"] == 0.25
+    np.testing.assert_allclose(float(norms["u"].mean), float(norm.mean),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # loaded bundle drives the model
+    from graph_pde_tpu.models import gkn_apply
+    g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
+    out = gkn_apply(p2, cfg2, g0)
+    assert np.isfinite(np.asarray(out)).all()
