@@ -144,11 +144,45 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
     elif cfg.eval_protocol == "split_random" and cfg.dataset == "darcy":
         result["full_field_l2"] = _eval_gkn_split_random(
             cfg, mcfg, res.params, arrays, norms)
+    elif cfg.eval_protocol == "split_random" and cfg.dataset == "burgers":
+        result["full_field_l2"] = _eval_gkn_split_random_burgers(
+            cfg, mcfg, res.params, arrays)
     elif cfg.eval_protocol == "split_downsample":
         result["full_field_l2"] = _eval_gkn_split_downsample(
             cfg, mcfg, res.params, arrays, norms)
     result["params"] = res.params
     return result
+
+
+def _eval_gkn_split_random_burgers(cfg, mcfg, params, arrays):
+    """1-d full-grid eval via RandomGridSplitter (neurips5_GKN.py:138-147):
+    cover all s points with disjoint m-node subgraphs, stitch, rel-L2."""
+    from ..graph import RandomGridSplitter, make_box_grid
+
+    s = arrays.s
+    n_eval = min(cfg.ntest, 10)
+    bfields = _load_burgers_fields(cfg, cfg.ntrain + cfg.ntest,
+                                   cfg.data_path, cfg.data_seed)
+    test = prepare_burgers(
+        {k: v[cfg.ntrain:] for k, v in bfields.items()}, n=n_eval,
+        r=cfg.downsample, a_normalizer=arrays.a_normalizer,
+        u_normalizer=arrays.u_normalizer, encode_u=False)
+    m = _divisor_near(s, cfg.nystrom_m or 128)
+    grid = make_box_grid([[0, 1]], [s])
+    sp = RandomGridSplitter(grid, s, d=1, m=m, l=1,
+                            radius=cfg.radius_train, seed=cfg.seed)
+    lp = LpLoss(size_average=False)
+    total = 0.0
+    for j in range(n_eval):
+        graphs = sp.get_data(test.a[j][:, None])
+        preds = _predict_shards(mcfg, params, graphs)
+        idxs = [np.asarray(g.sample_idx)[: int(g.n_node)] for g in graphs]
+        dec = [np.asarray(arrays.u_normalizer.decode(
+            p[None, :], sample_idx=idx[None]))[0]
+            for p, idx in zip(preds, idxs)]
+        full = sp.assemble(dec, idxs)
+        total += float(lp.rel(full[None], test.u[j][None]))
+    return total / n_eval
 
 
 def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
