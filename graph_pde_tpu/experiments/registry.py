@@ -67,6 +67,7 @@ class ExperimentConfig:
     eval_protocol: str = "fixed"      # 'fixed' | 'multires' |
     #                                  'split_random' | 'split_downsample'
     eval_resolutions: Tuple[int, ...] = ()
+    eval_m: Tuple[int, ...] = ()      # test-side node counts (UAI5)
 
     def smoke(self) -> "ExperimentConfig":
         """Seconds-scale version for CI: tiny data, few epochs."""
@@ -148,7 +149,8 @@ register(ExperimentConfig(
 register(ExperimentConfig(
     name="uai5_sample_generalize", family="gkn", downsample=1, ntrain=100,
     ntest=40, nystrom_m=400, radius_train=0.15, width=64, ker_width=256,
-    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
+    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2,
+    eval_m=(100, 200, 400, 800)))
 
 # UAI6_sample_radius.py: m x radius sweep (0.05/0.15/0.4).
 register(ExperimentConfig(

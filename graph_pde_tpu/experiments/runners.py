@@ -150,6 +150,21 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
     elif cfg.eval_protocol == "split_downsample":
         result["full_field_l2"] = _eval_gkn_split_downsample(
             cfg, mcfg, res.params, arrays, norms)
+    if cfg.eval_m and cfg.dataset == "darcy":
+        # test-side node-count generalization (UAI5_sample_generalize.py):
+        # the same weights evaluated on graphs subsampled at other m
+        from ..train import GKNTask as _T, evaluate as _ev
+
+        by_m = {}
+        for m_eval in cfg.eval_m:
+            g_m = darcy_gkn_graphs(test_arrays, m=m_eval,
+                                   radius=radius_test, seed=cfg.seed + 5)
+            t_m = _T(mcfg, u_normalizer=arrays.u_normalizer,
+                     loss_type=cfg.loss,
+                     use_sample_idx=cfg.u_norm == "unit")
+            by_m[int(m_eval)] = _ev(t_m, res.params, g_m,
+                                    batch_size=cfg.batch_size)
+        result["eval_by_m"] = by_m
     result["params"] = res.params
     return result
 
