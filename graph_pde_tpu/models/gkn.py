@@ -95,7 +95,12 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
                                    blocked_segment_mean)
 
         e = graph.senders.shape[0]
-        k_dtype = jnp.bfloat16 if dtype is not None else jnp.float32
+        # bf16 K storage when requested OR when the cached matrices would
+        # be HBM-heavy (full-grid edge counts: f32 K at UAI1 scale is
+        # ~6.9 GB; bf16 measured 3.1x faster than the per-iteration path)
+        big = e * cfg.width * cfg.width * 4 > 2 * 1024 ** 3
+        k_dtype = (jnp.bfloat16 if (dtype is not None or big)
+                   else jnp.float32)
         kk = dense_apply(params["kernel"], graph.edge_attr)
         kk = kk.reshape(e, cfg.width, cfg.width).astype(k_dtype)
         for t in range(cfg.depth):
