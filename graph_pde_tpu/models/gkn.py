@@ -91,6 +91,7 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
         # reuse; trades HBM for the per-iteration kernel-MLP GEMMs.
         # Gated by memory: E * width^2 must fit comfortably.
         from ..ops.dense import dense_apply
+        from ..ops.cached_contraction import apply_cached_kernel
         from ..ops.segment import (gather_rows, masked_segment_mean,
                                    blocked_segment_mean)
 
@@ -101,12 +102,10 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
         big = e * cfg.width * cfg.width * 4 > 2 * 1024 ** 3
         k_dtype = (jnp.bfloat16 if (dtype is not None or big)
                    else jnp.float32)
-        kk = dense_apply(params["kernel"], graph.edge_attr)
-        kk = kk.reshape(e, cfg.width, cfg.width).astype(k_dtype)
+        kk = dense_apply(params["kernel"], graph.edge_attr).astype(k_dtype)
         for t in range(cfg.depth):
             xj = gather_rows(x, graph.senders)
-            msg = jnp.einsum("ei,eio->eo", xj.astype(k_dtype), kk,
-                             preferred_element_type=jnp.float32)
+            msg = apply_cached_kernel(xj, kk, cfg.width, cfg.width)
             if graph.node_block:
                 out = blocked_segment_mean(msg, graph.receivers, edge_mask,
                                            x.shape[0], graph.node_block,

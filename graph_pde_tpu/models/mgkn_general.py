@@ -99,11 +99,11 @@ def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l,
         # kernel matrices precomputed once per forward (impl='kcached'):
         # kappa depends only on edge_attr, which is fixed across the
         # depth-T V-cycles
+        from ..ops.cached_contraction import apply_cached_kernel
         from ..ops.segment import gather_rows, masked_segment_mean
 
         xj = gather_rows(x, senders[r0:r1])
-        msg = jnp.einsum("ei,eio->eo", xj.astype(kk.dtype), kk,
-                         preferred_element_type=jnp.float32)
+        msg = apply_cached_kernel(xj, kk, cfg.width, cfg.width)
         out = masked_segment_mean(msg, receivers[r0:r1], mask[r0:r1],
                                   x.shape[0])
         if "root" in conv_params:
@@ -127,8 +127,8 @@ def _precompute_kernels(params, cfg, g: MultiLevelGraph):
 
     def kap(conv_params, attr, ranges, l):
         r0, r1 = ranges[l]
-        kk = dense_apply(conv_params["kernel"], attr[r0:r1])
-        return kk.reshape(r1 - r0, cfg.width, cfg.width).astype(k_dtype)
+        return dense_apply(conv_params["kernel"],
+                           attr[r0:r1]).astype(k_dtype)
 
     level = cfg.level
     return {

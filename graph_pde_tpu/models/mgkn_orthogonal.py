@@ -90,12 +90,12 @@ def mgkn_orthogonal_init(key, cfg: MGKNOrthogonalConfig):
 
 def _conv(x, g: MultipoleGraph1D, conv_params, cfg, idx: int, kk=None):
     if kk is not None:
+        from ..ops.cached_contraction import apply_cached_kernel
         from ..ops.segment import gather_rows, masked_segment_mean
 
         e = g.senders[idx].shape[0]
         xj = gather_rows(x, g.senders[idx])
-        msg = jnp.einsum("ei,eio->eo", xj.astype(kk.dtype), kk,
-                         preferred_element_type=jnp.float32)
+        msg = apply_cached_kernel(xj, kk, cfg.width, cfg.width)
         out = masked_segment_mean(msg, g.receivers[idx],
                                   jnp.ones((e,), bool), x.shape[0])
         return out + x @ conv_params["root"] + conv_params["bias"]
@@ -125,9 +125,8 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
         kks = []
         for idx in range(level + 1):
             a = g.attrs[idx]
-            kk = dense_apply(params["conv"][idx]["kernel"], a)
-            kks.append(kk.reshape(a.shape[0], cfg.width,
-                                  cfg.width).astype(k_dtype))
+            kks.append(dense_apply(params["conv"][idx]["kernel"],
+                                   a).astype(k_dtype))
 
     def kk_of(idx):
         return kks[idx] if kks is not None else None

@@ -1,0 +1,209 @@
+"""Per-edge contraction against cached kernel matrices.
+
+Companion to the kcached execution mode (models/gkn.py): when the kernel
+matrices K = kappa(edge_attr) are computed once per forward and reused
+across the depth iterations, each iteration reduces to
+
+    msg[e, o] = sum_i x_src[e, i] * K[e, i*w_out + o]
+
+XLA lowers this einsum to a VPU-heavy batched matvec; this op runs it as
+MXU selector-GEMMs instead (same trick as pallas_edge_conv — Mosaic
+cannot reshape [blk, w_in*w_out] -> [blk, w_in, w_out]):
+
+    Xrep = x @ P             P[i, c]  = (c // w_out == i)
+    msg  = (K ∘ Xrep) @ QT   QT[c, o] = (c %  w_out == o)
+
+K is streamed in column chunks. The backward is ONE kernel on the same
+grid emitting both cotangents:
+    dx  += (K_c ∘ Grep) @ PT_c     (accumulated over chunks)
+    dK_c = Xrep_c ∘ Grep           (chunk-disjoint, written directly)
+with Grep the lane-tiled g (concat, Mosaic-supported).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_E = 512
+C_CHUNK = 1024
+
+
+def contraction_supported(e: int, in_channels: int,
+                          out_channels: int) -> bool:
+    c = in_channels * out_channels
+    chunk = min(C_CHUNK, c)
+    return c % chunk == 0 and chunk % out_channels == 0
+
+
+def _sel_p(in_channels, out_channels, c0, chunk, transpose=False):
+    if transpose:
+        cc = jax.lax.broadcasted_iota(jnp.int32, (chunk, in_channels), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, in_channels), 1)
+    else:
+        cc = jax.lax.broadcasted_iota(jnp.int32, (in_channels, chunk), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (in_channels, chunk), 0)
+    return ((c0 + cc) // out_channels == rows).astype(jnp.float32)
+
+
+def _sel_qt(out_channels, chunk):
+    cc = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 1)
+    return (cc % out_channels == cols).astype(jnp.float32)
+
+
+def _tile_lanes(g, n):
+    return g if n == 1 else jnp.concatenate([g] * n, axis=1)
+
+
+def _fwd_kernel(in_channels, out_channels, chunk, *refs):
+    x_ref, k_ref, msg_ref = refs
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        msg_ref[:] = jnp.zeros_like(msg_ref)
+
+    xrep = jnp.dot(x_ref[:], _sel_p(in_channels, out_channels, ci * chunk,
+                                    chunk),
+                   preferred_element_type=jnp.float32)
+    kc = k_ref[:].astype(jnp.float32)
+    msg_ref[:] += jnp.dot(kc * xrep, _sel_qt(out_channels, chunk),
+                          preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(in_channels, out_channels, chunk, k_dtype, *refs):
+    x_ref, k_ref, g_ref, dx_ref, dk_ref = refs
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    g = g_ref[:]
+    grep = _tile_lanes(g, chunk // out_channels)
+    kc = k_ref[:].astype(jnp.float32)
+    dx_ref[:] += jnp.dot(kc * grep,
+                         _sel_p(in_channels, out_channels, ci * chunk,
+                                chunk, transpose=True),
+                         preferred_element_type=jnp.float32)
+    xrep = jnp.dot(x_ref[:], _sel_p(in_channels, out_channels, ci * chunk,
+                                    chunk),
+                   preferred_element_type=jnp.float32)
+    dk_ref[:] = (xrep * grep).astype(k_dtype)
+
+
+def _pad_e(arr, e_pad):
+    e = arr.shape[0]
+    if e == e_pad:
+        return arr
+    return jnp.pad(arr, [(0, e_pad - e)] + [(0, 0)] * (arr.ndim - 1))
+
+
+@functools.lru_cache(maxsize=64)
+def _get_fn(in_channels, out_channels, block_e, k_dtype_name, interpret):
+    c_total = in_channels * out_channels
+    chunk = min(C_CHUNK, c_total)
+    n_chunks = c_total // chunk
+    k_dtype = jnp.bfloat16 if k_dtype_name == "bfloat16" else jnp.float32
+
+    def edge_spec(width):
+        return pl.BlockSpec((block_e, width), lambda ei, ci: (ei, 0),
+                            memory_space=pltpu.VMEM)
+
+    def k_spec():
+        return pl.BlockSpec((block_e, chunk), lambda ei, ci: (ei, ci),
+                            memory_space=pltpu.VMEM)
+
+    def fwd_impl(x_src, K):
+        e = x_src.shape[0]
+        e_pad = ((e + block_e - 1) // block_e) * block_e
+        msg = pl.pallas_call(
+            functools.partial(_fwd_kernel, in_channels, out_channels,
+                              chunk),
+            grid=(e_pad // block_e, n_chunks),
+            in_specs=[edge_spec(in_channels), k_spec()],
+            out_specs=edge_spec(out_channels),
+            out_shape=jax.ShapeDtypeStruct((e_pad, out_channels),
+                                           jnp.float32),
+            interpret=interpret,
+        )(_pad_e(x_src, e_pad), _pad_e(K, e_pad))
+        return msg[:e]
+
+    def bwd_impl(x_src, K, g):
+        e = x_src.shape[0]
+        e_pad = ((e + block_e - 1) // block_e) * block_e
+        dx, dk = pl.pallas_call(
+            functools.partial(_bwd_kernel, in_channels, out_channels,
+                              chunk, k_dtype),
+            grid=(e_pad // block_e, n_chunks),
+            in_specs=[edge_spec(in_channels), k_spec(),
+                      edge_spec(out_channels)],
+            out_specs=[edge_spec(in_channels), k_spec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((e_pad, in_channels), jnp.float32),
+                jax.ShapeDtypeStruct((e_pad, c_total), k_dtype),
+            ],
+            interpret=interpret,
+        )(_pad_e(x_src, e_pad), _pad_e(K, e_pad), _pad_e(g, e_pad))
+        return dx[:e], dk[:e]
+
+    @jax.custom_vjp
+    def contract(x_src, K):
+        return fwd_impl(x_src, K)
+
+    def contract_fwd(x_src, K):
+        return fwd_impl(x_src, K), (x_src, K)
+
+    def contract_bwd(res, g):
+        # The all-pallas backward (bwd_impl) measured SLOWER end-to-end
+        # than XLA's fused version of these formulas (the dK write
+        # dominates and XLA fuses the outer product into it), so the
+        # backward stays in XLA. bwd_impl is kept for future tuning.
+        x_src, K = res
+        e = x_src.shape[0]
+        k3 = K.reshape(e, in_channels, out_channels)
+        dx = jnp.einsum("eo,eio->ei", g, k3.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        dk = (x_src[:, :, None] * g[:, None, :]).reshape(e, c_total)
+        return dx.astype(x_src.dtype), dk.astype(K.dtype)
+
+    contract.defvjp(contract_fwd, contract_bwd)
+    return contract
+
+
+def cached_contraction(x_src, K, *, in_channels: int, out_channels: int,
+                       block_e: int = DEFAULT_BLOCK_E,
+                       interpret: bool = False):
+    """msg[e] = x_src[e] @ K[e].reshape(in, out). K: [E, in*out]
+    (f32 or bf16)."""
+    k_dtype_name = "bfloat16" if K.dtype == jnp.bfloat16 else "float32"
+    fn = _get_fn(in_channels, out_channels, block_e, k_dtype_name,
+                 interpret)
+    return fn(x_src, K)
+
+
+__all__ = ["cached_contraction", "contraction_supported"]
+
+
+def apply_cached_kernel(x_src, kk2d, in_channels, out_channels):
+    """Cached-K contraction used by the kcached model paths.
+
+    Measured outcome (PERF_NOTES.md): the standalone pallas forward beats
+    the XLA einsum 1.29x, but wiring it in via custom_vjp LOSES end-to-end
+    (0.174 vs 0.147 s/epoch) — the custom_vjp boundary blocks XLA from
+    fusing the contraction with its neighbors and forces residual
+    materialization. The plain einsum stays; `cached_contraction` remains
+    available (tested) for a future fully-fused iteration-loop kernel.
+    """
+    import jax.numpy as jnp
+
+    kk = kk2d.reshape(x_src.shape[0], in_channels, out_channels)
+    return jnp.einsum("ei,eio->eo", x_src.astype(kk.dtype), kk,
+                      preferred_element_type=jnp.float32)
+
+
+__all__.append("apply_cached_kernel")

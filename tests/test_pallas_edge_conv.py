@@ -108,3 +108,32 @@ def test_fused_large_kernel_width():
                               out_channels=w, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cached_contraction_parity():
+    """Pallas cached-K contraction (interpret mode) vs einsum oracle,
+    forward and both cotangents."""
+    from graph_pde_tpu.ops.cached_contraction import cached_contraction
+
+    w = 16
+    rng = np.random.default_rng(40)
+    e = 300
+    x = jnp.asarray(rng.normal(size=(e, w)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(e, w * w)).astype(np.float32))
+
+    def ref(x, K):
+        return jnp.einsum("ei,eio->eo", x, K.reshape(e, w, w))
+
+    out = cached_contraction(x, K, in_channels=w, out_channels=w,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, K)),
+                               rtol=2e-5, atol=1e-5)
+
+    g1 = jax.grad(lambda x, K: jnp.sum(jnp.sin(cached_contraction(
+        x, K, in_channels=w, out_channels=w, interpret=True))),
+        argnums=(0, 1))(x, K)
+    g2 = jax.grad(lambda x, K: jnp.sum(jnp.sin(ref(x, K))),
+                  argnums=(0, 1))(x, K)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
