@@ -140,7 +140,7 @@ def main():
                        loss_type="mse")
     tx_r, step_r = make_step(cfg_ref, task_ref)
     t_ref = time_epoch(params, tx_r, step_r, graphs, batch_size=1,
-                       n_warmup=1, n_epochs=1)
+                       n_warmup=1, n_epochs=2)
 
     print(json.dumps({
         "metric": "gkn_darcy_epoch_time_s",
