@@ -22,8 +22,10 @@ Execution paths (``impl``):
   - 'pallas': fused TPU kernel (graph_pde_tpu.ops.pallas_edge_conv) that
     computes the kernel MLP and the per-edge contraction in VMEM and never
     writes the kernel matrices to HBM.
-  - 'auto': picks pallas on TPU for large E, else scan for large E, else
-    reference.
+  - 'auto': picks pallas on TPU when the kernel shape is supported, else
+    scan for large E, else reference. (Models additionally offer
+    impl='kcached' — kernel matrices computed once per forward and reused
+    across the depth iterations; see models/gkn.py.)
 
 All paths accept a validity mask over padded edges; mean-aggregation
 counts only valid edges (PyG scatter_mean parity).
