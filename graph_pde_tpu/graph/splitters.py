@@ -302,11 +302,11 @@ class DownsampleGridSplitter:
         out = np.zeros((self.resolution, self.resolution), np.float32)
         for p, (x, y) in zip(preds, split_xy):
             p = np.asarray(p).reshape(-1)
-            if self.resolution % 2 == 1:
-                nx = self.s if x == 0 else self.s - 1
-                ny = self.s if y == 0 else self.s - 1
-            else:
-                nx = ny = self.s
+            # exact shard extents (the reference's odd/even rule,
+            # mp:1133-1144, assumes r | resolution-1; this generalizes and
+            # matches it when that holds)
+            nx = (self.resolution - x + self.r - 1) // self.r
+            ny = (self.resolution - y + self.r - 1) // self.r
             out[x::self.r, y::self.r] = p[: nx * ny].reshape(nx, ny)
         from ..utils.filters import gaussian_filter
 
@@ -368,11 +368,11 @@ class TorusGridSplitter(DownsampleGridSplitter):
         out = np.zeros((self.resolution, self.resolution), np.float32)
         for p, (x, y) in zip(preds, split_xy):
             p = np.asarray(p).reshape(-1)
-            if self.resolution % 2 == 1:
-                nx = self.s if x == 0 else self.s - 1
-                ny = self.s if y == 0 else self.s - 1
-            else:
-                nx = ny = self.s
+            # exact shard extents (the reference's odd/even rule,
+            # mp:1133-1144, assumes r | resolution-1; this generalizes and
+            # matches it when that holds)
+            nx = (self.resolution - x + self.r - 1) // self.r
+            ny = (self.resolution - y + self.r - 1) // self.r
             out[x::self.r, y::self.r] = p[: nx * ny].reshape(nx, ny)
         from ..utils.filters import gaussian_filter
 
@@ -387,11 +387,8 @@ class TorusGridSplitter(DownsampleGridSplitter):
                        np.float32)
         for p, (x, y) in zip(preds, split_xy):
             p = np.asarray(p)  # [m, T]
-            if self.resolution % 2 == 1:
-                nx = self.s if x == 0 else self.s - 1
-                ny = self.s if y == 0 else self.s - 1
-            else:
-                nx = ny = self.s
+            nx = (self.resolution - x + self.r - 1) // self.r
+            ny = (self.resolution - y + self.r - 1) // self.r
             out[:, x::self.r, y::self.r] = (
                 p[: nx * ny].T.reshape(self.T, nx, ny))
         from ..utils.filters import gaussian_filter

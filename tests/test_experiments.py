@@ -20,9 +20,12 @@ def test_registry_covers_reference_scripts():
 @pytest.mark.parametrize("name", [
     "neurips1_gkn",              # GKN darcy nystrom
     "uai3_resolution",           # GKN + multires eval
+    "uai7_evaluate",             # split_downsample full-field eval
+    "uai7_evaluate2",            # split_random full-field eval
+    "neurips1_mgkn",             # induced-variant MGKN
     "mgkn_general_darcy2d",      # flagship MGKN + split/assemble eval
     "mgkn_orthogonal_burgers1d", # flagship orthogonal MGKN
-    "neurips5_gkn",              # burgers GKN
+    "neurips5_gkn",              # burgers GKN + 1-d split eval
     "neurips4_gcn",              # GCN baseline
 ])
 def test_experiment_smoke(name):
