@@ -209,24 +209,27 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
     train_l2_hist, test_l2_hist, times = [], [], []
     for ep in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        l2_sum = 0.0
+        # accumulate metrics on device; a single host sync per epoch lets
+        # step dispatches pipeline (a per-step float() serializes every
+        # dispatch — pathological over remote/tunneled backends)
+        l2_sum = jnp.zeros(())
         count = 0
         for batch in batch_iterator(train_data, cfg.batch_size, rng):
             params, opt_state, metrics = train_step(params, opt_state, batch)
-            l2_sum += float(metrics["l2_sum"])
-            count += int(metrics["batch"])
+            l2_sum = l2_sum + metrics["l2_sum"]
+            count += jax.tree_util.tree_leaves(batch)[0].shape[0]
+        train_l2 = float(l2_sum) / max(count, 1)
         times.append(time.perf_counter() - t0)
-        train_l2 = l2_sum / max(count, 1)
         train_l2_hist.append(train_l2)
 
         test_l2 = None
         if test_data is not None:
-            tl = 0.0
+            tl = jnp.zeros(())
             tc = 0
             for batch in batch_iterator(test_data, cfg.batch_size):
-                tl += float(eval_step(params, batch))
+                tl = tl + eval_step(params, batch)
                 tc += jax.tree_util.tree_leaves(batch)[0].shape[0]
-            test_l2 = tl / max(tc, 1)
+            test_l2 = float(tl) / max(tc, 1)
             test_l2_hist.append(test_l2)
         if callback is not None:
             callback(ep, params, train_l2, test_l2)
