@@ -434,7 +434,41 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
     if cfg.eval_protocol == "split_random":
         result["full_field_l2"] = _eval_mgkn_split(
             cfg, mcfg, res.params, arrays, norms, caps)
+    elif cfg.eval_protocol == "multires":
+        result["multires"] = _eval_mgkn_multires(
+            cfg, mcfg, task, res.params, arrays, norms)
     return result
+
+
+def _eval_mgkn_multires(cfg, mcfg, task, params, arrays, norms):
+    """MGKN zero-shot resolution generalization (neurips3_MGKN.py:357-387):
+    the same weights on multilevel graphs sampled from finer grids (node
+    counts per level stay fixed; the pool they are drawn from grows)."""
+    from ..train import evaluate
+
+    out = {}
+    for s_eval in cfg.eval_resolutions:
+        derivable = (cfg.source_res >= s_eval
+                     and (cfg.source_res - 1) % (s_eval - 1) == 0)
+        if derivable:
+            fields = _load_darcy_fields(cfg, cfg.ntest, cfg.test_data_path,
+                                        cfg.data_seed + 2)
+            r = (cfg.source_res - 1) // (s_eval - 1)
+        else:
+            fields = load_or_generate_darcy(cfg.ntest, s_eval,
+                                            seed=cfg.data_seed + 2)
+            r = 1
+        test_arrays, _ = prepare_darcy(
+            fields, n=cfg.ntest, r=r, normalizers=norms,
+            u_normalizer=arrays.u_normalizer)
+        test_arrays.u = np.asarray(
+            arrays.u_normalizer.encode(test_arrays.u))
+        g, _ = darcy_mgkn_graphs(
+            test_arrays, points=cfg.points, radius_inner=cfg.radius_inner,
+            radius_inter=cfg.radius_inter, seed=cfg.seed + 3)
+        out[int(test_arrays.s)] = evaluate(task, params, g,
+                                           batch_size=cfg.batch_size)
+    return out
 
 
 def _eval_mgkn_split(cfg, mcfg, params, arrays, norms, caps):

@@ -23,6 +23,7 @@ def test_registry_covers_reference_scripts():
     "uai7_evaluate",             # split_downsample full-field eval
     "uai7_evaluate2",            # split_random full-field eval
     "neurips1_mgkn",             # induced-variant MGKN
+    "neurips3_mgkn",             # MGKN multires eval
     "mgkn_general_darcy2d",      # flagship MGKN + split/assemble eval
     "mgkn_orthogonal_burgers1d", # flagship orthogonal MGKN
     "neurips5_gkn",              # burgers GKN + 1-d split eval
