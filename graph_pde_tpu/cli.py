@@ -28,7 +28,17 @@ def _parse_override(kv: str):
     return key, parsed
 
 
+def _setup_jax_cache():
+    """Persistent compilation cache: first compiles through the remote
+    compile helper cost minutes (PERF_NOTES.md); cache them on disk."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
+    _setup_jax_cache()
     from .experiments import get, names, run_experiment
 
     p = argparse.ArgumentParser(prog="graph_pde_tpu")
@@ -41,6 +51,17 @@ def main(argv=None):
     runp.add_argument("--set", action="append", default=[],
                       metavar="key=value", help="config override")
     runp.add_argument("--out", default=None, help="write results JSON")
+    runp.add_argument("--expect-l2", type=float, default=None,
+                      help="parity assertion: fail (exit 1) unless the "
+                           "chosen metric is within --tol of this value "
+                           "(docs/PARITY.md workflow)")
+    runp.add_argument("--metric", default="final_test_l2",
+                      help="result key checked by --expect-l2 "
+                           "(final_test_l2 | full_field_l2 | "
+                           "multires:<s>)")
+    runp.add_argument("--tol", type=float, default=1e-3,
+                      help="tolerance for --expect-l2 (BASELINE.md "
+                           "north star: rel-L2 parity +-1e-3)")
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -69,6 +90,30 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, default=str)
+    if args.expect_l2 is not None:
+        try:
+            if args.metric.startswith("multires:"):
+                value = result["multires"][
+                    int(args.metric.split(":", 1)[1])]
+            else:
+                value = result[args.metric]
+        except KeyError:
+            have = sorted(k for k, v in result.items()
+                          if isinstance(v, (int, float)) or k == "multires")
+            print(f"error: --metric {args.metric!r} not in results; "
+                  f"available: {have}", file=sys.stderr)
+            return 2
+        if value is None:
+            print(f"error: --metric {args.metric!r} is None for this "
+                  "config (no test data / eval protocol?)",
+                  file=sys.stderr)
+            return 2
+        dev = abs(float(value) - args.expect_l2)
+        ok = dev <= args.tol
+        print(f"parity {args.metric}={float(value):.6f} "
+              f"expected={args.expect_l2:.6f} |dev|={dev:.2e} "
+              f"tol={args.tol:.0e} -> {'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
     return 0
 
 

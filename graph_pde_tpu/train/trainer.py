@@ -176,10 +176,21 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
         callback: Optional[Callable] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
-        resume: bool = False) -> FitResult:
-    """Host-side epoch loop; batches come from data.batch_iterator over the
-    stacked pytrees. With ``checkpoint_dir`` set, saves params+opt_state
-    every ``checkpoint_every`` epochs (and at the end) and can ``resume``
+        resume: bool = False,
+        scan_epochs: bool = True) -> FitResult:
+    """Host-side epoch loop over ONE-JIT scanned epochs.
+
+    Each epoch is a single dispatched computation (make_epoch_fn: lax.scan
+    of the train step over a device-resident stacked [n_steps, B, ...]
+    epoch) with one host sync for the metric — the TPU-first replacement
+    for the reference's per-batch Python loop
+    (UAI1_full_resolution.py:254-283), and essential over a tunneled
+    backend where every forced dispatch costs ~25-30 ms. Set
+    ``scan_epochs=False`` for the per-step dispatch path (needed only
+    when batches cannot share one static shape).
+
+    With ``checkpoint_dir`` set, saves params+opt_state every
+    ``checkpoint_every`` epochs (and at the end) and can ``resume``
     mid-training — the reference only pickles the final model
     (UAI1_full_resolution.py:317)."""
     from ..data.datasets import batch_iterator
@@ -202,34 +213,75 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
             params = restored["params"]
             opt_state = restored["opt_state"]
             start_epoch = restored["step"]
-    train_step = make_train_step(task, tx)
-    eval_step = make_eval_step(task)
     rng = np.random.default_rng(cfg.seed + start_epoch)
+
+    # keep the whole dataset device-resident: one transfer, not one per
+    # batch per epoch (host->device through the tunnel is ~135 ms for a
+    # 15 MB epoch, PERF_NOTES.md)
+    train_data = jax.device_put(train_data)
+    eval_step = make_eval_step(task)
+    eval_scan = None
+    test_full = test_rem = None
+    if test_data is not None:
+        test_data = jax.device_put(test_data)
+        n_test = jax.tree_util.tree_leaves(test_data)[0].shape[0]
+        n_full = (n_test // cfg.batch_size) * cfg.batch_size
+        if n_full:
+            test_full = jax.tree_util.tree_map(
+                lambda a: a[:n_full].reshape(
+                    (-1, cfg.batch_size) + a.shape[1:]), test_data)
+        if n_test - n_full:
+            test_rem = jax.tree_util.tree_map(
+                lambda a: a[n_full:], test_data)
+
+        @jax.jit
+        def eval_scan(params, batches):
+            lp = LpLoss(size_average=False)
+
+            def body(carry, batch):
+                pred = task.forward(params, batch)
+                y = task.targets(batch)
+                mask = task.mask(batch).astype(pred.dtype)
+                dec_p = task.decode(pred[..., 0], batch) * mask
+                dec_y = task.decode(y[..., 0], batch) * mask
+                return carry + lp.rel(dec_p, dec_y), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros(()), batches)
+            return total
+
+    if scan_epochs:
+        epoch_fn = make_epoch_fn(task, tx)
+    else:
+        train_step = make_train_step(task, tx)
 
     train_l2_hist, test_l2_hist, times = [], [], []
     for ep in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        # accumulate metrics on device; a single host sync per epoch lets
-        # step dispatches pipeline (a per-step float() serializes every
-        # dispatch — pathological over remote/tunneled backends)
-        l2_sum = jnp.zeros(())
-        count = 0
-        for batch in batch_iterator(train_data, cfg.batch_size, rng):
-            params, opt_state, metrics = train_step(params, opt_state, batch)
-            l2_sum = l2_sum + metrics["l2_sum"]
-            count += jax.tree_util.tree_leaves(batch)[0].shape[0]
-        train_l2 = float(l2_sum) / max(count, 1)
+        if scan_epochs:
+            batches = stack_epoch(train_data, cfg.batch_size, rng)
+            count = (n_train // cfg.batch_size) * cfg.batch_size
+            params, opt_state, _, l2_sum = epoch_fn(
+                params, opt_state, batches)
+        else:
+            l2_sum = jnp.zeros(())
+            count = 0
+            for batch in batch_iterator(train_data, cfg.batch_size, rng):
+                params, opt_state, metrics = train_step(
+                    params, opt_state, batch)
+                l2_sum = l2_sum + metrics["l2_sum"]
+                count += jax.tree_util.tree_leaves(batch)[0].shape[0]
+        train_l2 = float(l2_sum) / max(count, 1)  # the one host sync
         times.append(time.perf_counter() - t0)
         train_l2_hist.append(train_l2)
 
         test_l2 = None
         if test_data is not None:
             tl = jnp.zeros(())
-            tc = 0
-            for batch in batch_iterator(test_data, cfg.batch_size):
-                tl = tl + eval_step(params, batch)
-                tc += jax.tree_util.tree_leaves(batch)[0].shape[0]
-            test_l2 = float(tl) / max(tc, 1)
+            if test_full is not None:
+                tl = tl + eval_scan(params, test_full)
+            if test_rem is not None:
+                tl = tl + eval_step(params, test_rem)
+            test_l2 = float(tl) / max(n_test, 1)
             test_l2_hist.append(test_l2)
         if callback is not None:
             callback(ep, params, train_l2, test_l2)

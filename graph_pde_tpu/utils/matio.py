@@ -38,6 +38,9 @@ class MatReader:
         self.file_path = file_path
         self._load_file()
 
+    def keys(self):
+        return [k for k in self.data.keys() if not k.startswith("__")]
+
     def read_field(self, field: str) -> np.ndarray:
         x = self.data[field]
         if not self.old_mat:
@@ -48,3 +51,28 @@ class MatReader:
         if self.to_float:
             x = x.astype(np.float32)
         return x
+
+
+def write_mat(file_path: str, fields: dict, v73: bool = False) -> None:
+    """Write a .mat file readable by MatReader (parity-harness tooling).
+
+    The reference's datasets are MATLAB-produced (README.md:24); this
+    writer exists so the .mat ingestion path can be exercised end-to-end
+    without them. ``v73=True`` writes HDF5 with MATLAB's column-major
+    axis order (each array stored axis-reversed, undoing
+    ``read_field``'s transpose); ``v73=False`` writes the pre-v7.3
+    format via scipy.io.savemat.
+    """
+    if v73:
+        import h5py
+
+        with h5py.File(file_path, "w") as f:
+            for k, v in fields.items():
+                v = np.asarray(v)
+                f.create_dataset(
+                    k, data=np.transpose(v, axes=range(v.ndim - 1, -1, -1)))
+    else:
+        import scipy.io
+
+        scipy.io.savemat(file_path,
+                         {k: np.asarray(v) for k, v in fields.items()})

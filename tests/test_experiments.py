@@ -28,6 +28,13 @@ def test_registry_covers_reference_scripts():
     "mgkn_orthogonal_burgers1d", # flagship orthogonal MGKN
     "neurips5_gkn",              # burgers GKN + 1-d split eval
     "neurips4_gcn",              # GCN baseline
+    "uai1_full_resolution",      # full-grid GKN, L1 backward, multires
+    "uai2_full_equation",        # full-grid GKN long run
+    "uai4_equation_sample",      # sample-count protocol at full res
+    "uai5_sample_generalize",    # train-m vs test-m generalization
+    "uai6_sample_radius",        # m x radius protocol
+    "uai8_kernel",               # 5-layer kernel MLP (nn5)
+    "neurips2_mgkn",             # single-level MGKN ablation
 ])
 def test_experiment_smoke(name):
     result = run_experiment(get(name), smoke=True)
