@@ -124,9 +124,14 @@ def main():
 
     # optimized: batched, kernel matrices computed once per forward and
     # reused across the depth iterations (kappa depends only on edge_attr)
+    # compute_dtype='bfloat16' stores the cached kernel matrices in bf16:
+    # the per-iteration contraction is HBM-bound (streams E*w^2 per
+    # iteration) and bf16 halves that traffic; multiplies run in bf16
+    # with f32 accumulation — the MXU's own bf16 matmul contract.
     cfg_opt = GKNConfig(width=64, ker_width=256, depth=4, ker_in=6,
                         in_width=6, kernel_layers=kernel_layers,
-                        relu_last=False, impl="kcached")
+                        relu_last=False, impl="kcached",
+                        compute_dtype="bfloat16")
     params = gkn_init(jax.random.PRNGKey(0), cfg_opt)
     task = GKNTask(cfg_opt, u_normalizer=arrays.u_normalizer,
                    loss_type="mse")

@@ -54,6 +54,15 @@ class ExperimentConfig:
     relu_last: bool = False
     decoder_mlp: bool = False
     mgkn_variant: str = "mkgn"
+    compute_dtype: Optional[str] = None  # 'bfloat16': bf16 kappa MLP +
+    #                                   bf16 cached K (halves the HBM-
+    #                                   bound per-iteration K stream)
+
+    def __post_init__(self):
+        if self.compute_dtype not in (None, "bfloat16", "float32"):
+            raise ValueError(
+                f"compute_dtype must be None, 'bfloat16' or 'float32', "
+                f"got {self.compute_dtype!r}")
     # training
     epochs: int = 100
     batch_size: int = 2

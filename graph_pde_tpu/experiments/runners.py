@@ -115,7 +115,8 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
         ker_in=ker_in, in_width=in_width,
         kernel_layers=_kernel_layers(cfg, ker_in),
         relu_last=(cfg.relu_last or cfg.kernel_variant == "nn"),
-        decoder_mlp=cfg.decoder_mlp, impl=cfg.impl)
+        decoder_mlp=cfg.decoder_mlp, impl=cfg.impl,
+        compute_dtype=cfg.compute_dtype)
     params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
     # per-node (unit) stats must be gathered at each node's grid index;
     # padded node arrays make direct broadcasting impossible

@@ -102,7 +102,16 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
         big = e * cfg.width * cfg.width * 4 > 2 * 1024 ** 3
         k_dtype = (jnp.bfloat16 if (dtype is not None or big)
                    else jnp.float32)
-        kk = dense_apply(params["kernel"], graph.edge_attr).astype(k_dtype)
+        kp, attr = params["kernel"], graph.edge_attr
+        if dtype is not None:
+            # full-bf16 kappa MLP: at full-grid scale (UAI1: E~383k,
+            # ker_width 1024) the MLP GEMMs dominate the step; bf16
+            # activations halve both the MXU time and the activation
+            # HBM traffic. Params stay f32 (optimizer master copy),
+            # cast at use.
+            kp = jax.tree_util.tree_map(lambda p: p.astype(dtype), kp)
+            attr = attr.astype(dtype)
+        kk = dense_apply(kp, attr).astype(k_dtype)
         for t in range(cfg.depth):
             xj = gather_rows(x, graph.senders)
             msg = apply_cached_kernel(xj, kk, cfg.width, cfg.width)

@@ -192,18 +192,30 @@ __all__ = ["cached_contraction", "contraction_supported"]
 def apply_cached_kernel(x_src, kk2d, in_channels, out_channels):
     """Cached-K contraction used by the kcached model paths.
 
-    Measured outcome (PERF_NOTES.md): the standalone pallas forward beats
-    the XLA einsum 1.29x, but wiring it in via custom_vjp LOSES end-to-end
-    (0.174 vs 0.147 s/epoch) — the custom_vjp boundary blocks XLA from
-    fusing the contraction with its neighbors and forces residual
-    materialization. The plain einsum stays; `cached_contraction` remains
-    available (tested) for a future fully-fused iteration-loop kernel.
+    Formulation: broadcast-multiply + reduce over the input channel,
+
+        msg[e, o] = sum_i K3[e, i, o] * x[e, i]
+
+    NOT an einsum/dot. The per-edge matvec is HBM-bandwidth-bound (the
+    only real work is streaming K once per iteration), and measured on
+    the v5e the reduce formulation is the only one that reaches the
+    streaming floor for bf16 K: einsum lowers to a batched matvec that
+    runs the bf16 path ~2.8x SLOWER (7.4 vs 2.7 ms at E=92k), while
+    this form hits 2.66 ms vs a 2.84 ms pure-read reference. End-to-end
+    it cut the bench train step 24.9 -> 15.3 ms/batch with bf16 K.
+
+    Products are computed in K's dtype (bf16 K => bf16 multiplies, f32
+    accumulation — the same contract as the MXU's native
+    bf16-input/f32-accumulate matmul). Earlier attempts and their
+    measurements (pallas selector-GEMM, custom_vjp fusion blocking) are
+    recorded in PERF_NOTES.md; `cached_contraction` remains available
+    (tested) for a future fully-fused iteration-loop kernel.
     """
     import jax.numpy as jnp
 
     kk = kk2d.reshape(x_src.shape[0], in_channels, out_channels)
-    return jnp.einsum("ei,eio->eo", x_src.astype(kk.dtype), kk,
-                      preferred_element_type=jnp.float32)
+    return jnp.sum(kk * x_src.astype(kk.dtype)[:, :, None], axis=1,
+                   dtype=jnp.float32)
 
 
 __all__.append("apply_cached_kernel")

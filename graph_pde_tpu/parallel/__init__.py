@@ -10,6 +10,8 @@ from .sharding import (
 from .halo import (partition_graph, partition_graph_ring,
                    gkn_apply_node_sharded,
                    gkn_apply_node_sharded_ring)
+from .halo_mgkn import (partition_multilevel_graph,
+                        mgkn_general_apply_node_sharded)
 
 __all__ = [
     "make_mesh", "default_mesh_shape", "initialize", "is_multiprocess",
@@ -17,4 +19,5 @@ __all__ = [
     "replicated_sharding",
     "partition_graph", "partition_graph_ring",
     "gkn_apply_node_sharded", "gkn_apply_node_sharded_ring",
+    "partition_multilevel_graph", "mgkn_general_apply_node_sharded",
 ]

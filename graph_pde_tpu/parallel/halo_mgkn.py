@@ -1,0 +1,251 @@
+"""Node-sharded execution of the multilevel (general) MGKN.
+
+The multipole hierarchy (RandomMultiMeshGenerator,
+multipole-graph-neural-operator/utilities.py:546-712) is SURVEY.md
+section 2.6's flagged "natural hierarchical comm pattern": intra-level
+K_ll edges stay mostly local, down/up K_{l,l+1}/K_{l+1,l} edges are the
+inter-shard transfer pattern of the V-cycle
+(MGKN_general_darcy2d.py:69-94).
+
+Sharding scheme: every LEVEL's node set is split into S contiguous
+blocks, so each device owns a proportional slice of every level (a
+device's local node array is the concatenation of its per-level
+blocks). All edges — down, mid, up — are bucketed host-side by the
+shard of their RECEIVER; senders carry global indices into the
+all-gathered node array. Each conv application all-gathers the [sum_l
+n_l, width] features over ICI (gradients flow back as reduce-scatter,
+inserted by shard_map's partial-eval of all_gather) and reduces its
+edge bucket onto local nodes. The reference's in-place level-slice
+update (MGKN_general_darcy2d.py:84-86) becomes a per-device local
+slice update because each device's layout preserves level order.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph.graph import MultiLevelGraph, round_up
+from ..ops.edge_conv import _kernel_messages
+from ..ops.segment import masked_segment_mean
+
+
+def _level_layout(points, n_shards):
+    """points: global level offsets (len L+1). Returns per-level local
+    block sizes, local level offsets, and total local nodes."""
+    sizes = [points[l + 1] - points[l] for l in range(len(points) - 1)]
+    loc = [round_up(-(-n // n_shards), 8) for n in sizes]
+    loc_offs = [0]
+    for v in loc:
+        loc_offs.append(loc_offs[-1] + v)
+    return sizes, loc, loc_offs
+
+
+def _map_nodes(ids, levels, points, loc, loc_offs):
+    """Global concat-layout node ids -> (shard, local id within shard).
+
+    ``levels`` gives each id's level (precomputed by the caller when
+    known; pass None to derive from ``points``)."""
+    ids = np.asarray(ids, np.int64)
+    if levels is None:
+        levels = np.searchsorted(np.asarray(points), ids,
+                                 side="right") - 1
+    within = ids - np.asarray(points)[levels]
+    loc_arr = np.asarray(loc)[levels]
+    shard = within // loc_arr
+    local = within - shard * loc_arr + np.asarray(loc_offs)[levels]
+    return shard.astype(np.int64), local.astype(np.int64)
+
+
+def _bucket_edges(senders_g, receivers_sh, receivers_loc, attr, valid,
+                  n_shards, park, edge_multiple):
+    """Groups edges by receiver shard into fixed-capacity buckets.
+
+    senders_g: gathered-domain sender ids. receivers_sh/loc: shard and
+    local receiver ids. park: local parking index for padding edges."""
+    S = n_shards
+    e_loc = 1
+    sels = []
+    for s in range(S):
+        sel = (receivers_sh == s) & valid
+        sels.append(sel)
+        e_loc = max(e_loc, int(sel.sum()))
+    e_loc = round_up(e_loc, edge_multiple)
+    a_dim = attr.shape[1]
+    out_s = np.zeros((S, e_loc), np.int32)
+    out_r = np.full((S, e_loc), park, np.int32)
+    out_a = np.zeros((S, e_loc, a_dim), np.float32)
+    out_m = np.zeros((S, e_loc), bool)
+    for s in range(S):
+        sel = sels[s]
+        e = int(sel.sum())
+        out_s[s, :e] = senders_g[sel]
+        out_r[s, :e] = receivers_loc[sel]
+        out_a[s, :e] = attr[sel]
+        out_m[s, :e] = True
+    return {"senders": out_s, "receivers": out_r, "attr": out_a,
+            "mask": out_m}
+
+
+def partition_multilevel_graph(g: MultiLevelGraph, n_shards: int,
+                               edge_multiple: int = 64):
+    """Host-side partition of one multilevel graph for S devices.
+
+    Returns (parts, meta): parts is a pytree of arrays with leading axis
+    n_shards (shard_map inputs); meta holds the static layout
+    (per-level local sizes/offsets) the sharded forward needs."""
+    S = n_shards
+    points = tuple(int(p) for p in g.points)
+    L = len(points) - 1
+    sizes, loc, loc_offs = _level_layout(points, S)
+    n_loc_tot = loc_offs[-1]
+
+    x = np.asarray(g.x)
+    f_dim = x.shape[1]
+    x_sh = np.zeros((S, n_loc_tot, f_dim), np.float32)
+    nmask = np.zeros((S, n_loc_tot), bool)
+    for l in range(L):
+        lvl = x[points[l]:points[l + 1]]
+        pad = np.zeros((S * loc[l], f_dim), np.float32)
+        pad[: sizes[l]] = lvl
+        x_sh[:, loc_offs[l]:loc_offs[l + 1]] = pad.reshape(S, loc[l],
+                                                           f_dim)
+        m = np.zeros(S * loc[l], bool)
+        m[: sizes[l]] = True
+        nmask[:, loc_offs[l]:loc_offs[l + 1]] = m.reshape(S, loc[l])
+
+    def gathered_id(shard, local):
+        return shard * n_loc_tot + local
+
+    down, mid, up = [], [], []
+    # down/up: global-index edges over the whole node array
+    for kind, snd, rcv, attr, msk, ranges, out in (
+        ("down", g.down_senders, g.down_receivers, g.down_attr,
+         g.down_mask, g.down_ranges, down),
+        ("up", g.up_senders, g.up_receivers, g.up_attr, g.up_mask,
+         g.up_ranges, up),
+    ):
+        snd = np.asarray(snd)
+        rcv = np.asarray(rcv)
+        attr = np.asarray(attr)
+        msk = np.asarray(msk).astype(bool)
+        for l in range(L - 1):
+            r0, r1 = ranges[l]
+            s_sh, s_loc = _map_nodes(snd[r0:r1], None, points, loc,
+                                     loc_offs)
+            r_sh, r_loc = _map_nodes(rcv[r0:r1], None, points, loc,
+                                     loc_offs)
+            out.append(_bucket_edges(
+                gathered_id(s_sh, s_loc), r_sh, r_loc, attr[r0:r1],
+                msk[r0:r1], S, n_loc_tot - 1, edge_multiple))
+    # mid: LEVEL-LOCAL indices (conv applied on the level slice)
+    m_snd = np.asarray(g.mid_senders)
+    m_rcv = np.asarray(g.mid_receivers)
+    m_attr = np.asarray(g.mid_attr)
+    m_msk = np.asarray(g.mid_mask).astype(bool)
+    for l in range(L):
+        r0, r1 = g.mid_ranges[l]
+        snd_l = m_snd[r0:r1].astype(np.int64)
+        rcv_l = m_rcv[r0:r1].astype(np.int64)
+        lv = np.full(snd_l.shape, l)
+        s_sh, s_loc = _map_nodes(snd_l + points[l], lv, points, loc,
+                                 loc_offs)
+        r_sh = rcv_l // loc[l]
+        r_loc = rcv_l - r_sh * loc[l]  # slice-local (within level block)
+        mid.append(_bucket_edges(
+            gathered_id(s_sh, s_loc), r_sh, r_loc, m_attr[r0:r1],
+            m_msk[r0:r1], S, loc[l] - 1, edge_multiple))
+
+    parts = {"x": x_sh, "node_mask": nmask, "down": down, "mid": mid,
+             "up": up}
+    meta = {"loc": tuple(loc), "loc_offs": tuple(loc_offs),
+            "n_loc_tot": n_loc_tot, "points": points}
+    return parts, meta
+
+
+def _gathered_conv(x_all, bucket, kernel_params, width, out_size):
+    """Messages from the all-gathered features, reduced onto out_size
+    local rows (masked mean — PyG scatter_mean parity)."""
+    x_src = x_all[bucket["senders"]]
+    msg = _kernel_messages(x_src, bucket["attr"], kernel_params, width,
+                           width, "full", None)
+    return masked_segment_mean(msg, bucket["receivers"], bucket["mask"],
+                               out_size)
+
+
+def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
+                                    axis: str = "data") -> jnp.ndarray:
+    """Node-sharded forward of the general MGKN V-cycle.
+
+    Returns [S * loc0, out_width]; the first points[1] rows are the
+    finest-level predictions in original node order (each shard's block
+    is a contiguous chunk of level 0)."""
+    from jax import shard_map
+
+    L = cfg.level
+    loc = meta["loc"]
+    lo = meta["loc_offs"]
+    n_loc_tot = meta["n_loc_tot"]
+    width = cfg.width
+
+    def body(x, down, mid, up):
+        x = jax.tree_util.tree_map(lambda a: a[0], x)
+        down = jax.tree_util.tree_map(lambda a: a[0], down)
+        mid = jax.tree_util.tree_map(lambda a: a[0], mid)
+        up = jax.tree_util.tree_map(lambda a: a[0], up)
+
+        h = x @ params["fc_in"]["w"] + params["fc_in"]["b"]
+        for _ in range(cfg.depth):
+            for l in range(L - 1):
+                h_all = jax.lax.all_gather(h, axis, axis=0, tiled=True)
+                h = h + _gathered_conv(h_all, down[l],
+                                       params["conv_down"][l]["kernel"],
+                                       width, n_loc_tot)
+                h = jax.nn.relu(h)
+            for l in reversed(range(L)):
+                h_all = jax.lax.all_gather(h, axis, axis=0, tiled=True)
+                h_slice = h[lo[l]:lo[l + 1]]
+                delta = _gathered_conv(h_all, mid[l],
+                                       params["conv_mid"][l]["kernel"],
+                                       width, loc[l])
+                if cfg.variant == "mkgn":
+                    # in-place K_ll on the level slice, root term, no
+                    # ReLU (MGKN_general_darcy2d.py:84-86)
+                    new = delta + h_slice @ params["conv_mid"][l]["root"]
+                    h = h.at[lo[l]:lo[l + 1]].set(new)
+                else:
+                    h = h.at[lo[l]:lo[l + 1]].add(delta)
+                    h = jax.nn.relu(h)
+                if l > 0:
+                    h_all = jax.lax.all_gather(h, axis, axis=0,
+                                               tiled=True)
+                    h = h + _gathered_conv(
+                        h_all, up[l - 1],
+                        params["conv_up"][l - 1]["kernel"], width,
+                        n_loc_tot)
+                    h = jax.nn.relu(h)
+
+        h0 = h[lo[0]:lo[1]]
+        h0 = jax.nn.relu(h0 @ params["fc_out1"]["w"]
+                         + params["fc_out1"]["b"])
+        h0 = h0 @ params["fc_out2"]["w"] + params["fc_out2"]["b"]
+        return h0[None]
+
+    spec_tree = jax.tree_util.tree_map(lambda _: P(axis), parts)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_tree["x"], spec_tree["down"], spec_tree["mid"],
+                  spec_tree["up"]),
+        out_specs=P(axis),
+    )
+    out = fn(parts["x"], parts["down"], parts["mid"], parts["up"])
+    return out.reshape(-1, out.shape[-1])
+
+
+__all__ = [
+    "partition_multilevel_graph",
+    "mgkn_general_apply_node_sharded",
+]
