@@ -113,6 +113,62 @@ def time_epoch_scanned(params, task, graphs, batch_size, lr=1e-4,
     return min(times)
 
 
+def build_mgkn_orthogonal(n=64, s=1024, seed=0):
+    """Flagship orthogonal MGKN shapes (MGKN_orthogonal_burgers1d.py:
+    118-183: s=1024 dyadic hierarchy, whole dataset device-resident)."""
+    import jax.numpy as jnp
+    from graph_pde_tpu.data import (load_or_generate_burgers,
+                                    prepare_burgers,
+                                    burgers_multipole_data)
+    from graph_pde_tpu.models import MultipoleGraph1D
+
+    bfields = load_or_generate_burgers(n, s, seed=seed)
+    arrays = prepare_burgers(bfields, n=n)
+    xs, ys, senders, receivers, attrs = burgers_multipole_data(arrays)
+    graphs = MultipoleGraph1D(
+        x=jnp.asarray(xs),
+        senders=[jnp.asarray(np.broadcast_to(se, (n,) + se.shape))
+                 for se in senders],
+        receivers=[jnp.asarray(np.broadcast_to(r, (n,) + r.shape))
+                   for r in receivers],
+        attrs=[jnp.asarray(a) for a in attrs],
+        y=jnp.asarray(ys))
+    return arrays, graphs
+
+
+def bench_mgkn_orthogonal():
+    """Second tracked metric: MGKN orthogonal epoch time (reference
+    protocol MGKN_orthogonal_burgers1d.py:226-283), optimized (scanned
+    epoch, kcached, bf16) vs reference-style execution (batch 1,
+    per-iteration kappa, per-step dispatch) on the same chip."""
+    import jax
+    from graph_pde_tpu.models import MGKNOrthogonalConfig, \
+        mgkn_orthogonal_init
+    from graph_pde_tpu.train import MGKNOrthogonalTask
+
+    arrays, graphs = build_mgkn_orthogonal()
+    cfg_opt = MGKNOrthogonalConfig(width=64, ker_width=1024, depth=4,
+                                   ker_in=4, in_width=2, s=arrays.s,
+                                   impl="kcached",
+                                   compute_dtype="bfloat16")
+    params = mgkn_orthogonal_init(jax.random.PRNGKey(0), cfg_opt)
+    task = MGKNOrthogonalTask(cfg_opt, u_normalizer=arrays.u_normalizer,
+                              loss_type="rel2")
+    t_opt = time_epoch_scanned(params, task, graphs, batch_size=8,
+                               lr=1e-5)
+
+    cfg_ref = MGKNOrthogonalConfig(width=64, ker_width=1024, depth=4,
+                                   ker_in=4, in_width=2, s=arrays.s,
+                                   impl="reference")
+    task_ref = MGKNOrthogonalTask(cfg_ref,
+                                  u_normalizer=arrays.u_normalizer,
+                                  loss_type="rel2")
+    tx_r, step_r = make_step(cfg_ref, task_ref, lr=1e-5)
+    t_ref = time_epoch(params, tx_r, step_r, graphs, batch_size=1,
+                       n_warmup=1, n_epochs=2)
+    return t_opt, t_ref
+
+
 def main():
     import jax
     from graph_pde_tpu.models import GKNConfig, gkn_init
@@ -147,11 +203,17 @@ def main():
     t_ref = time_epoch(params, tx_r, step_r, graphs, batch_size=1,
                        n_warmup=1, n_epochs=2)
 
+    t_mg_opt, t_mg_ref = bench_mgkn_orthogonal()
+
+    # one JSON line (driver contract); the second flagship metric rides
+    # as extra keys on the same object
     print(json.dumps({
         "metric": "gkn_darcy_epoch_time_s",
         "value": round(t_opt, 4),
         "unit": "s",
         "vs_baseline": round(t_ref / t_opt, 3),
+        "mgkn_orthogonal_epoch_s": round(t_mg_opt, 4),
+        "mgkn_orthogonal_vs_baseline": round(t_mg_ref / t_mg_opt, 3),
     }))
 
 

@@ -57,6 +57,9 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None  # 'bfloat16': bf16 kappa MLP +
     #                                   bf16 cached K (halves the HBM-
     #                                   bound per-iteration K stream)
+    node_block: int = 0               # >0: blocked-CSR edge layout —
+    #                                   block-local one-hot aggregation,
+    #                                   bounded at any N (full grids)
 
     def __post_init__(self):
         if self.compute_dtype not in (None, "bfloat16", "float32"):
@@ -147,6 +150,19 @@ register(ExperimentConfig(
     width=64, ker_width=256, depth=4, kernel_variant="nn3", loss="mse",
     u_norm="gaussian", epochs=200, batch_size=2, eval_protocol="multires",
     eval_resolutions=(61, 121, 241)))
+
+# Full-grid s=241 single-graph training: the regime the reference cannot
+# reach (its splitters exist to avoid it — UAI4_equation_sample.py trains
+# m=200 subsamples of the 241 grid; sklearn pairwise alone would need
+# >20 min per graph there). N=58,081 nodes, E~1.2M edges at r=0.01:
+# kcached is memory-gated out (bf16 K alone is 9.8 GB), so impl='auto'
+# takes the fused pallas path (kappa recomputed per iteration, no
+# [E, w^2] materialization) with blocked-CSR aggregation.
+register(ExperimentConfig(
+    name="uai4_full_grid_241", family="gkn", downsample=1, ntrain=16,
+    ntest=4, nystrom_m=None, radius_train=0.01, width=64, ker_width=256,
+    depth=4, kernel_variant="nn3", loss="mse", epochs=40, batch_size=1,
+    impl="auto", node_block=512, compute_dtype="bfloat16"))
 
 # UAI4_equation_sample.py: full 241 resolution, m=200, sample-count sweep.
 register(ExperimentConfig(

@@ -90,10 +90,11 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
             arrays.u_normalizer.encode(test_arrays.u))
         train_g = darcy_gkn_graphs(
             arrays, m=cfg.nystrom_m, k=cfg.graphs_per_sample,
-            radius=cfg.radius_train, seed=cfg.seed)
+            radius=cfg.radius_train, seed=cfg.seed,
+            node_block=cfg.node_block)
         test_g = darcy_gkn_graphs(
             test_arrays, m=cfg.nystrom_m, radius=radius_test,
-            seed=cfg.seed + 1)
+            seed=cfg.seed + 1, node_block=cfg.node_block)
         ker_in, in_width = 6, 6
     else:
         bfields = _load_burgers_fields(cfg, cfg.ntrain + cfg.ntest,
@@ -140,8 +141,9 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
     }
 
     if cfg.eval_protocol == "multires" and cfg.dataset == "darcy":
-        result["multires"] = _eval_gkn_multires(
-            cfg, mcfg, res.params, arrays, norms, radius_test)
+        result["multires"], result["multires_fresh_fields"] = \
+            _eval_gkn_multires(cfg, mcfg, res.params, arrays, norms,
+                               radius_test)
     elif cfg.eval_protocol == "split_random" and cfg.dataset == "darcy":
         result["full_field_l2"] = _eval_gkn_split_random(
             cfg, mcfg, res.params, arrays, norms)
@@ -207,6 +209,7 @@ def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
     from ..train import GKNTask, evaluate
 
     out = {}
+    fresh = []
     for s_eval in cfg.eval_resolutions:
         derivable = (cfg.source_res >= s_eval
                      and (cfg.source_res - 1) % (s_eval - 1) == 0)
@@ -218,7 +221,17 @@ def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
                                         cfg.data_seed + 2)
             r = (cfg.source_res - 1) // (s_eval - 1)
         else:
-            # source grid cannot produce s_eval; generate at that grid
+            # source grid cannot produce s_eval; generate at that grid.
+            # These entries measure a FRESHLY GENERATED test distribution,
+            # not the strided protocol — flagged in the result so they
+            # are never silently compared against derivable points.
+            import warnings
+
+            warnings.warn(
+                f"multires eval at s={s_eval}: source grid "
+                f"{cfg.source_res} cannot derive it; using freshly "
+                "generated fields (flagged in multires_fresh_fields)")
+            fresh.append(int(s_eval))
             fields = load_or_generate_darcy(
                 cfg.ntest, s_eval, seed=cfg.data_seed + 2)
             r = 1
@@ -235,7 +248,7 @@ def _eval_gkn_multires(cfg, mcfg, params, arrays, norms, radius_test):
                        use_sample_idx=cfg.u_norm == "unit")
         out[int(test_arrays.s)] = evaluate(task, params, g,
                                            batch_size=cfg.batch_size)
-    return out
+    return out, fresh
 
 
 def _predict_shards(mcfg, params, graphs):
@@ -436,8 +449,9 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
         result["full_field_l2"] = _eval_mgkn_split(
             cfg, mcfg, res.params, arrays, norms, caps)
     elif cfg.eval_protocol == "multires":
-        result["multires"] = _eval_mgkn_multires(
-            cfg, mcfg, task, res.params, arrays, norms)
+        result["multires"], result["multires_fresh_fields"] = \
+            _eval_mgkn_multires(cfg, mcfg, task, res.params, arrays,
+                                norms)
     return result
 
 
@@ -448,6 +462,7 @@ def _eval_mgkn_multires(cfg, mcfg, task, params, arrays, norms):
     from ..train import evaluate
 
     out = {}
+    fresh = []
     for s_eval in cfg.eval_resolutions:
         derivable = (cfg.source_res >= s_eval
                      and (cfg.source_res - 1) % (s_eval - 1) == 0)
@@ -456,6 +471,15 @@ def _eval_mgkn_multires(cfg, mcfg, task, params, arrays, norms):
                                         cfg.data_seed + 2)
             r = (cfg.source_res - 1) // (s_eval - 1)
         else:
+            # freshly generated test distribution, not the strided
+            # protocol — flagged (see _eval_gkn_multires)
+            import warnings
+
+            warnings.warn(
+                f"multires eval at s={s_eval}: source grid "
+                f"{cfg.source_res} cannot derive it; using freshly "
+                "generated fields (flagged in multires_fresh_fields)")
+            fresh.append(int(s_eval))
             fields = load_or_generate_darcy(cfg.ntest, s_eval,
                                             seed=cfg.data_seed + 2)
             r = 1
@@ -469,7 +493,7 @@ def _eval_mgkn_multires(cfg, mcfg, task, params, arrays, norms):
             radius_inter=cfg.radius_inter, seed=cfg.seed + 3)
         out[int(test_arrays.s)] = evaluate(task, params, g,
                                            batch_size=cfg.batch_size)
-    return out
+    return out, fresh
 
 
 def _eval_mgkn_split(cfg, mcfg, params, arrays, norms, caps):
