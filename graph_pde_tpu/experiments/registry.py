@@ -57,6 +57,9 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None  # 'bfloat16': bf16 kappa MLP +
     #                                   bf16 cached K (halves the HBM-
     #                                   bound per-iteration K stream)
+    torus_T: int = 3                  # T-step targets (torus_t family)
+    assemble_sigma: float = 1.0       # assembleT smoothing (reference
+    #                                   default, mp/utilities.py:1403)
     node_block: int = 0               # >0: blocked-CSR edge layout —
     #                                   block-local one-hot aggregation,
     #                                   bounded at any N (full grids)
@@ -66,6 +69,11 @@ class ExperimentConfig:
             raise ValueError(
                 f"compute_dtype must be None, 'bfloat16' or 'float32', "
                 f"got {self.compute_dtype!r}")
+        if self.assemble_sigma <= 0:
+            raise ValueError(
+                f"assemble_sigma must be > 0 (use a tiny value like 1e-6 "
+                f"to effectively disable smoothing), got "
+                f"{self.assemble_sigma}")
     # training
     epochs: int = 100
     batch_size: int = 2
@@ -101,6 +109,9 @@ class ExperimentConfig:
                 max(p // 8, 6) for p in self.points)
         if self.eval_resolutions:
             small["eval_resolutions"] = (17, 33)
+        if self.family == "torus_t":
+            small["source_res"] = 16
+            small["downsample"] = 2
         if self.dataset == "burgers":
             small["source_res"] = 64
             small["nystrom_m"] = min(self.nystrom_m or 48, 32)
@@ -163,6 +174,16 @@ register(ExperimentConfig(
     ntest=4, nystrom_m=None, radius_train=0.01, width=64, ker_width=256,
     depth=4, kernel_variant="nn3", loss="mse", epochs=40, batch_size=1,
     impl="auto", node_block=512, compute_dtype="bfloat16"))
+
+# Grain-microstructure T-step workflow: the use-case behind the
+# reference's two shipped TorusGridSplitter checkpoints (driver script
+# not in the reference repo — SURVEY.md section 0; sampleT/assembleT
+# semantics mp/utilities.py:1321-1438).
+register(ExperimentConfig(
+    name="grain_torus_timeseries", family="torus_t", source_res=32,
+    downsample=2, ntrain=24, ntest=4, radius_train=0.25, width=32,
+    ker_width=64, depth=3, kernel_variant="nn3", loss="mse", epochs=24,
+    batch_size=4, learning_rate=1e-3, torus_T=3, assemble_sigma=0.5))
 
 # UAI4_equation_sample.py: full 241 resolution, m=200, sample-count sweep.
 register(ExperimentConfig(

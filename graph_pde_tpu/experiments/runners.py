@@ -62,6 +62,8 @@ def run_experiment(cfg: ExperimentConfig, smoke: bool = False,
         return _run_mgkn_general(cfg, progress)
     if cfg.family == "mgkn_orthogonal":
         return _run_mgkn_orthogonal(cfg, progress)
+    if cfg.family == "torus_t":
+        return _run_torus_timeseries(cfg, progress)
     raise ValueError(cfg.family)
 
 
@@ -429,7 +431,8 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
     mcfg = MGKNGeneralConfig(
         width=cfg.width, ker_width=cfg.ker_width, depth=cfg.depth,
         ker_in=6, in_width=6, points=tuple(cfg.points),
-        variant=cfg.mgkn_variant, impl=cfg.impl)
+        variant=cfg.mgkn_variant, impl=cfg.impl,
+        compute_dtype=cfg.compute_dtype)
     params = mgkn_general_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNGeneralTask(mcfg, u_normalizer=arrays.u_normalizer,
                            loss_type=cfg.loss)
@@ -538,6 +541,116 @@ def _eval_mgkn_split(cfg, mcfg, params, arrays, norms, caps):
     return total / n_eval
 
 
+def _run_torus_timeseries(cfg: ExperimentConfig, progress=None) -> Dict:
+    """T-step training on the periodic domain — the grain-microstructure
+    workflow behind the reference's shipped TorusGridSplitter checkpoints
+    (mp/utilities.py:1321-1438 sampleT/assembleT; the driver script is
+    not in the reference repo, SURVEY.md section 0). Protocol: per epoch
+    each sample contributes one random periodic shard with T-step
+    targets; eval stitches all deterministic shards with assembleT
+    (wrap-mode Gaussian smoothing) and scores rel-L2 per step."""
+    import jax
+    import jax.numpy as jnp
+    from ..graph import (TorusGridSplitter, make_box_grid, stack_graphs,
+                         repad_edges)
+    from ..models import GKNConfig, gkn_init, gkn_apply
+    from ..train.optim import adam_steplr
+    from ..utils import gaussian_filter
+
+    res, T = cfg.source_res, cfg.torus_T
+    rng = np.random.default_rng(cfg.data_seed)
+
+    def make_sample():
+        raw = rng.normal(size=(res, res)).astype(np.float32)
+        theta = np.asarray(gaussian_filter(raw, sigma=2.0, mode="wrap"))
+        theta = theta / max(float(theta.std()), 1e-6)  # O(1) amplitude
+        y = np.stack([np.sin((t + 1) * theta) for t in range(T)])
+        return theta.reshape(-1, 1), y.reshape(T, -1)
+
+    train = [make_sample() for _ in range(cfg.ntrain)]
+    test = [make_sample() for _ in range(cfg.ntest)]
+
+    grid = make_box_grid([[0, 1], [0, 1]], [res, res]) * (res - 1) / res
+    r = max(cfg.downsample, 1)
+    m = (-(-res // r)) ** 2
+    sp = TorusGridSplitter(grid, res, r=r, m=m, radius=cfg.radius_train,
+                           T=T, seed=cfg.seed)
+
+    mcfg = GKNConfig(width=cfg.width, ker_width=cfg.ker_width,
+                     depth=cfg.depth, ker_in=5, in_width=3, out_width=T,
+                     kernel_layers=_kernel_layers(cfg, 5),
+                     relu_last=False, impl=cfg.impl,
+                     compute_dtype=cfg.compute_dtype)
+    params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
+    tx = adam_steplr(cfg.learning_rate, weight_decay=cfg.weight_decay,
+                     steps_per_epoch=max(cfg.ntrain // cfg.batch_size, 1),
+                     step_size_epochs=cfg.scheduler_step,
+                     gamma=cfg.scheduler_gamma)
+    opt = tx.init(params)
+
+    @jax.jit
+    def epoch_fn(params, opt, batches):
+        def loss_fn(p, b):
+            out = jax.vmap(lambda g: gkn_apply(p, mcfg, g))(b)
+            mask = jax.vmap(lambda g: g.node_mask())(b)
+            d = (out - b.y) * mask[..., None]
+            return jnp.sum(d ** 2) / jnp.maximum(jnp.sum(mask) * T, 1.0)
+
+        def body(carry, b):
+            p, o = carry
+            loss, g = jax.value_and_grad(loss_fn)(p, b)
+            up, o = tx.update(g, o, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, up)
+            return (p, o), loss
+
+        (params, opt), losses = jax.lax.scan(body, (params, opt), batches)
+        return params, opt, jnp.mean(losses)
+
+    train_hist = []
+    shuffle = np.random.default_rng(cfg.seed + 1)
+    e_pad = 0  # monotone edge capacity: stable shapes, bounded recompiles
+    for ep in range(cfg.epochs):
+        # fresh random shard per sample per epoch (sampleT protocol)
+        shards = [sp.sampleT(theta, y)[0] for theta, y in train]
+        from ..graph import round_up
+
+        e_pad = max(e_pad, round_up(
+            max(g.senders.shape[0] for g in shards), 512))
+        shards = [repad_edges(g, e_pad) for g in shards]
+        order = shuffle.permutation(cfg.ntrain)
+        n_steps = max(cfg.ntrain // cfg.batch_size, 1)
+        sel = order[: n_steps * cfg.batch_size]
+        batch = stack_graphs([shards[i] for i in sel])
+        batches = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_steps, cfg.batch_size) + a.shape[1:]),
+            batch)
+        params, opt, loss = epoch_fn(params, opt, batches)
+        train_hist.append(float(loss))
+        if progress is not None:
+            progress(ep, params, float(loss), None)
+
+    # full-field eval: deterministic shards -> assembleT stitching
+    fwd = jax.jit(lambda g: gkn_apply(params, mcfg, g))
+    lp = LpLoss(size_average=False)
+    totals = np.zeros(T)
+    for theta, y in test:
+        graphs = sp.get_data(theta)
+        preds, xys = [], []
+        for g, xy in graphs:
+            out = np.asarray(fwd(g))[: int(g.n_node)]
+            preds.append(out)
+            xys.append(xy)
+        full = sp.assembleT(preds, xys,
+                            sigma=cfg.assemble_sigma)  # [T, n]
+        for t in range(T):
+            totals[t] += float(lp.rel(full[t][None],
+                                      np.asarray(y[t])[None]))
+    per_step = (totals / max(cfg.ntest, 1)).tolist()
+    return {"config": cfg.name, "train_l2": train_hist,
+            "test_l2_per_step": per_step,
+            "final_test_l2": float(np.mean(per_step)), "params": params}
+
+
 def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -570,7 +683,8 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
 
     mcfg = MGKNOrthogonalConfig(width=cfg.width, ker_width=cfg.ker_width,
                                 depth=cfg.depth, ker_in=4, in_width=2,
-                                s=arrays.s, impl=cfg.impl)
+                                s=arrays.s, impl=cfg.impl,
+                                compute_dtype=cfg.compute_dtype)
     params = mgkn_orthogonal_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNOrthogonalTask(mcfg, u_normalizer=arrays.u_normalizer,
                               loss_type=cfg.loss)

@@ -116,6 +116,12 @@ def torus2d_connectivity(points: np.ndarray, r: float
     """
     grid = np.asarray(points, np.float64).reshape(-1, 2)
     n = grid.shape[0]
+    try:
+        from . import native
+
+        return native.native_torus2d(grid, r)
+    except RuntimeError:
+        pass  # toolchain unavailable -> dense numpy fallback
     shifts = np.array([[sx, sy] for sx in (0.0, 1.0, -1.0)
                        for sy in (0.0, 1.0, -1.0)])
     x_diffs = []

@@ -367,6 +367,32 @@ def stack_graphs(graphs) -> Graph:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *graphs)
 
 
+def repad_edges(g: Graph, e_pad: int) -> Graph:
+    """Grows a (non-blocked) graph's edge capacity to ``e_pad``.
+
+    Edge capacities are MINIMUMS that grow on demand (sample-dependent
+    edge counts mean capacities fitted on one batch can be exceeded by
+    another); this pads the tail with masked edges parked at
+    receiver = N_pad - 1, matching build_graph's convention."""
+    assert g.node_block == 0, "repad_edges: blocked-CSR not supported"
+    e = g.senders.shape[0]
+    assert e_pad >= e, (e_pad, e)
+    if e_pad == e:
+        return g
+    extra = e_pad - e
+    n_pad = g.x.shape[0]
+    return g.replace(
+        senders=np.concatenate(
+            [np.asarray(g.senders), np.zeros(extra, np.int32)]),
+        receivers=np.concatenate(
+            [np.asarray(g.receivers),
+             np.full(extra, n_pad - 1, np.int32)]),
+        edge_attr=np.concatenate(
+            [np.asarray(g.edge_attr),
+             np.zeros((extra, g.edge_attr.shape[1]), np.float32)]),
+    )
+
+
 def pad_capacities(graphs) -> tuple:
     """Max (node, edge) capacity over a list of pre-pad (n, e) tuples."""
     n_max = max(g[0] for g in graphs)
@@ -380,5 +406,6 @@ __all__ = [
     "build_graph",
     "build_multilevel_graph",
     "stack_graphs",
+    "repad_edges",
     "round_up",
 ]

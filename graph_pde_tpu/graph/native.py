@@ -60,6 +60,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gpde_copy_edges.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.gpde_torus2d_graph.restype = ctypes.c_int64
+        lib.gpde_torus2d_graph.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double,
+        ]
+        lib.gpde_copy_torus_edges.restype = None
+        lib.gpde_copy_torus_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -110,4 +123,39 @@ def native_radius(points: np.ndarray, points_b: Optional[np.ndarray],
     return src, dst
 
 
-__all__ = ["native_radius", "available"]
+def native_torus2d(points: np.ndarray, r: float):
+    """Periodic min-image radius graph on [0,1)^2 via the C++ cell list.
+
+    Returns (edge_index [2, E], dist, dx, dy) sorted by (src, dst) —
+    the same order and bit-identical geometry as the dense numpy path
+    (build.torus2d_connectivity). Raises RuntimeError when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native graph builder unavailable")
+    p = np.ascontiguousarray(points, np.float64).reshape(-1, 2)
+    n = p.shape[0]
+    with _lock:
+        count = lib.gpde_torus2d_graph(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            float(r))
+        if count < 0:
+            raise RuntimeError("native torus graph failed")
+        src = np.empty(count, np.int64)
+        dst = np.empty(count, np.int64)
+        dist = np.empty(count, np.float64)
+        dx = np.empty(count, np.float64)
+        dy = np.empty(count, np.float64)
+        if count > 0:
+            lib.gpde_copy_torus_edges(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                dy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    order = np.lexsort((dst, src))  # np.where order of the dense path
+    ei = np.stack([src[order], dst[order]])
+    return ei, dist[order], dx[order], dy[order]
+
+
+__all__ = ["native_radius", "native_torus2d", "available"]

@@ -127,8 +127,15 @@ def _precompute_kernels(params, cfg, g: MultiLevelGraph):
 
     def kap(conv_params, attr, ranges, l):
         r0, r1 = ranges[l]
-        return dense_apply(conv_params["kernel"],
-                           attr[r0:r1]).astype(k_dtype)
+        kp = conv_params["kernel"]
+        a = attr[r0:r1]
+        if cfg.compute_dtype == "bfloat16":
+            # bf16 kappa MLP (params stay f32 master copies; see
+            # models/gkn.py kcached notes)
+            kp = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), kp)
+            a = a.astype(jnp.bfloat16)
+        return dense_apply(kp, a).astype(k_dtype)
 
     level = cfg.level
     return {

@@ -125,8 +125,13 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
         kks = []
         for idx in range(level + 1):
             a = g.attrs[idx]
-            kks.append(dense_apply(params["conv"][idx]["kernel"],
-                                   a).astype(k_dtype))
+            kp = params["conv"][idx]["kernel"]
+            if cfg.compute_dtype == "bfloat16":
+                # bf16 kappa MLP, f32 master params (models/gkn.py notes)
+                kp = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16), kp)
+                a = a.astype(jnp.bfloat16)
+            kks.append(dense_apply(kp, a).astype(k_dtype))
 
     def kk_of(idx):
         return kks[idx] if kks is not None else None

@@ -36,6 +36,7 @@ def test_registry_covers_reference_scripts():
     "uai8_kernel",               # 5-layer kernel MLP (nn5)
     "neurips2_mgkn",             # single-level MGKN ablation
     "uai4_full_grid_241",        # full-grid blocked-CSR regime
+    "grain_torus_timeseries",    # T-step periodic sampleT/assembleT
 ])
 def test_experiment_smoke(name):
     result = run_experiment(get(name), smoke=True)
