@@ -93,12 +93,21 @@ def node_sharded_conv_local(x_loc, senders, receivers, edge_attr, edge_mask,
     over `axis`, compute the local edge block, reduce onto local nodes."""
     x_all = jax.lax.all_gather(x_loc, axis, axis=0, tiled=True)  # [N, F]
     n_loc = x_loc.shape[0]
-    x_src = x_all[senders]
     from ..ops.edge_conv import _kernel_messages
     from ..ops.segment import masked_segment_mean, masked_segment_sum
 
-    msg = _kernel_messages(x_src, edge_attr, kernel_params, in_channels,
-                           out_channels, "full", None)
+    if impl in ("pallas", "pallas_interpret"):
+        # fused kernel on the device-local edge bucket: the gather out
+        # of the all-gathered features happens inside the kernel
+        from ..ops.pallas_edge_conv import fused_edge_messages
+
+        msg = fused_edge_messages(
+            x_all, senders, edge_attr, kernel_params,
+            in_channels=in_channels, out_channels=out_channels,
+            interpret=(impl == "pallas_interpret"))
+    else:
+        msg = _kernel_messages(x_all[senders], edge_attr, kernel_params,
+                               in_channels, out_channels, "full", None)
     if aggr == "mean":
         out = masked_segment_mean(msg, receivers, edge_mask, n_loc)
     else:
@@ -111,11 +120,14 @@ def node_sharded_conv_local(x_loc, senders, receivers, edge_attr, edge_mask,
 
 
 def gkn_apply_node_sharded(params, cfg, parts, mesh: Mesh,
-                           axis: str = "data"):
+                           axis: str = "data", impl: str = "reference"):
     """GKN forward over one node-sharded graph.
 
     parts: output of partition_graph, device_put with leading axis sharded
     over `axis`. Returns [S * n_loc, out_width] gathered predictions.
+    impl: 'reference' | 'pallas' (fused conv kernel inside shard_map) |
+    'pallas_interpret' (same, interpret mode — exercises the fused-kernel
+    + shard_map interaction on a CPU mesh).
     """
     from jax import shard_map
 
@@ -129,7 +141,8 @@ def gkn_apply_node_sharded(params, cfg, parts, mesh: Mesh,
                 h, senders, receivers, edge_attr, edge_mask,
                 params["kernel"], axis=axis, in_channels=cfg.width,
                 out_channels=cfg.width, aggr=cfg.aggr,
-                root=params.get("root"), bias=params.get("bias"))
+                root=params.get("root"), bias=params.get("bias"),
+                impl=impl)
             if t != cfg.depth - 1 or cfg.relu_last:
                 h = jax.nn.relu(h)
         if cfg.decoder_mlp:
@@ -144,6 +157,9 @@ def gkn_apply_node_sharded(params, cfg, parts, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec),
         out_specs=spec,
+        # pallas_call cannot annotate its outputs' varying-mesh-axes, so
+        # the vma static check must be off for the fused impl
+        check_vma=not impl.startswith("pallas"),
     )
     out = fn(parts["x"], parts["senders"], parts["receivers"],
              parts["edge_attr"], parts["edge_mask"])

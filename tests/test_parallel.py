@@ -126,6 +126,25 @@ def test_node_sharded_forward_matches_single(setup):
                                np.asarray(ref)[:n], rtol=1e-4, atol=1e-5)
 
 
+def test_node_sharded_fused_pallas_matches_single(setup):
+    """Fused pallas conv INSIDE shard_map (interpret mode on the CPU
+    mesh): validates the fused-kernel + shard_map interaction — the
+    gather out of the all-gathered features, the per-device edge
+    bucket, and the collective boundary around the pallas_call."""
+    arrays, graphs, cfg, params = setup
+    g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
+    ref = gkn_apply(params, cfg, g0)
+
+    mesh = make_mesh((8,), axis_names=("data",))
+    parts = partition_graph(g0, 8)
+    out = gkn_apply_node_sharded(params, cfg, parts, mesh, axis="data",
+                                 impl="pallas_interpret")
+    n = int(g0.n_node)
+    nmask = parts["node_mask"].reshape(-1)
+    np.testing.assert_allclose(np.asarray(out)[nmask][:n],
+                               np.asarray(ref)[:n], rtol=1e-4, atol=1e-5)
+
+
 def test_node_sharded_grads_flow(setup):
     arrays, graphs, cfg, params = setup
     g0 = jax.tree_util.tree_map(lambda a: a[0], graphs)
