@@ -11,7 +11,9 @@ from .halo import (partition_graph, partition_graph_ring,
                    gkn_apply_node_sharded,
                    gkn_apply_node_sharded_ring)
 from .halo_mgkn import (partition_multilevel_graph,
-                        mgkn_general_apply_node_sharded)
+                        mgkn_general_apply_node_sharded,
+                        partition_multipole1d,
+                        mgkn_orthogonal_apply_node_sharded)
 
 __all__ = [
     "make_mesh", "default_mesh_shape", "initialize", "is_multiprocess",
@@ -20,4 +22,5 @@ __all__ = [
     "partition_graph", "partition_graph_ring",
     "gkn_apply_node_sharded", "gkn_apply_node_sharded_ring",
     "partition_multilevel_graph", "mgkn_general_apply_node_sharded",
+    "partition_multipole1d", "mgkn_orthogonal_apply_node_sharded",
 ]

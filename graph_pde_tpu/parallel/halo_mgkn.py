@@ -245,7 +245,184 @@ def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
     return out.reshape(-1, out.shape[-1])
 
 
+# --------------------------------------------------------------------
+# Orthogonal MGKN (1-d dyadic hierarchy): sharded fine levels +
+# agglomerated coarse levels — the classic parallel-multigrid pattern.
+# Fine levels keep x block-sharded on the sequence axis (pooling and
+# nearest-upsampling are block-local because block lengths stay even);
+# once a level's per-device block would fall below ``min_block`` (or
+# stop dividing evenly), the state is all-gathered and the coarse
+# levels compute replicated, re-sharding by local slice on the way up.
+# Reference V-cycle: MGKN_orthogonal_burgers1d.py:59-86.
+
+def _orth_grid_lengths(s: int, n_edge_sets: int):
+    """Edge set i lives on the grid of length s / 2^max(i-1, 0)
+    (set 0: finest NN edges; set i>=1: level-i interactive edges applied
+    to phi[i-1] — models/mgkn_orthogonal.py:134-152)."""
+    return [s // (2 ** max(i - 1, 0)) for i in range(n_edge_sets)]
+
+
+def partition_multipole1d(g, n_shards: int, min_block: int = 8,
+                          edge_multiple: int = 64):
+    """Host-side partition of one MultipoleGraph1D for S devices.
+
+    Returns (parts, meta). Levels whose per-device block is at least
+    ``min_block`` and even are sharded; coarser ones are replicated
+    (meta['sharded_level'][l]). Sharded edge sets are bucketed by
+    receiver block; replicated ones keep their full edge lists."""
+    s = g.x.shape[0]
+    S = n_shards
+    n_sets = len(g.senders)
+    glens = _orth_grid_lengths(s, n_sets)
+    level = n_sets - 1
+
+    def level_sharded(length):
+        return length % S == 0 and length // S >= min_block \
+            and (length // S) % 2 == 0
+
+    edge_parts = []
+    for i in range(n_sets):
+        gl = glens[i]
+        snd = np.asarray(g.senders[i], np.int64)
+        rcv = np.asarray(g.receivers[i], np.int64)
+        attr = np.asarray(g.attrs[i], np.float32)
+        if not level_sharded(gl):
+            edge_parts.append({
+                "senders": np.broadcast_to(snd, (S,) + snd.shape).copy(),
+                "receivers": np.broadcast_to(rcv,
+                                             (S,) + rcv.shape).copy(),
+                "attr": np.broadcast_to(attr, (S,) + attr.shape).copy(),
+                "mask": np.ones((S, snd.shape[0]), bool),
+            })
+            continue
+        blk = gl // S
+        r_sh = rcv // blk
+        edge_parts.append(_bucket_edges(
+            snd, r_sh, rcv - r_sh * blk, attr,
+            np.ones(snd.shape[0], bool), S, blk - 1, edge_multiple))
+
+    x = np.asarray(g.x, np.float32)
+    if not level_sharded(s):
+        raise ValueError(
+            f"s={s} over {S} shards gives blocks under min_block="
+            f"{min_block} (or uneven); node sharding is not useful "
+            "here — run unsharded")
+    blk0 = s // S
+    parts = {
+        "x": x.reshape(S, blk0, -1),
+        "edges": edge_parts,
+    }
+    meta = {
+        "s": s,
+        "glens": tuple(glens),
+        "set_sharded": tuple(level_sharded(gl) for gl in glens),
+        # x at level l has length s/2^l; sharded iff that length is
+        "lvl_sharded": tuple(level_sharded(s // (2 ** l))
+                             for l in range(level)),
+    }
+    return parts, meta
+
+
+def _orth_conv(x_state, sharded_in, bucket, conv_params, width, axis,
+               out_len_loc):
+    """One edge-kernel conv on the (sharded or replicated) level state.
+    x_state is local [blk, w] when sharded_in else the full [gl, w]."""
+    if sharded_in:
+        x_all = jax.lax.all_gather(x_state, axis, axis=0, tiled=True)
+        out_size = out_len_loc
+    else:
+        x_all = x_state
+        out_size = x_state.shape[0]
+    x_src = x_all[bucket["senders"]]
+    msg = _kernel_messages(x_src, bucket["attr"], conv_params["kernel"],
+                           width, width, "full", None)
+    out = masked_segment_mean(msg, bucket["receivers"], bucket["mask"],
+                              out_size)
+    out = out + x_state @ conv_params["root"] + conv_params["bias"]
+    return out
+
+
+def mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
+                                       mesh: Mesh, axis: str = "data"):
+    """Node-sharded forward of the orthogonal MGKN V-cycle.
+
+    Returns [s, out_width] predictions in original order (contiguous
+    blocks reassemble the sequence)."""
+    from jax import shard_map
+    from ..ops.pooling import upsample_nearest_1d, avg_pool_1d
+
+    level = cfg.level
+    width = cfg.width
+    S = mesh.devices.size
+    lvl_sharded = meta["lvl_sharded"]
+
+    def to_mode(x, was_sharded, want_sharded, me, length):
+        if was_sharded == want_sharded:
+            return x
+        if was_sharded:  # agglomerate
+            return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        blk = length // S
+        return jax.lax.dynamic_slice_in_dim(x, me * blk, blk, axis=0)
+
+    def body(x, *edges):
+        x = x[0]
+        edges = [jax.tree_util.tree_map(lambda a: a[0], e) for e in edges]
+        me = jax.lax.axis_index(axis)
+
+        h = x @ params["fc1"]["w"] + params["fc1"]["b"]
+        for _ in range(cfg.depth):
+            phi = [None] * level
+            cur_sharded = lvl_sharded[0]
+            for l in range(level):
+                want = lvl_sharded[l]
+                h = to_mode(h, cur_sharded, want, me,
+                            meta["s"] // (2 ** l))
+                cur_sharded = want
+                phi[l] = (h, cur_sharded)
+                if l != level - 1:
+                    h = avg_pool_1d(h, 2)
+            # coarsest conv (edge set `level` on phi[level-1]'s grid)
+            ph, ph_sh = phi[level - 1]
+            assert ph_sh == meta["set_sharded"][level]
+            h = jax.nn.relu(h + _orth_conv(
+                ph, ph_sh, edges[level], params["conv"][level], width,
+                axis, ph.shape[0]))
+            for l in reversed(range(level)):
+                if l != 0:
+                    h = upsample_nearest_1d(h, 2)
+                    ph, ph_sh = phi[l - 1]
+                    # h now lives on phi[l-1]'s grid; match its mode
+                    h = to_mode(h, cur_sharded, ph_sh, me,
+                                meta["s"] // (2 ** (l - 1)))
+                    cur_sharded = ph_sh
+                    h = jax.nn.relu(h + _orth_conv(
+                        ph, ph_sh, edges[l], params["conv"][l], width,
+                        axis, ph.shape[0]))
+                else:
+                    ph, ph_sh = phi[0]
+                    h = jax.nn.relu(h + _orth_conv(
+                        ph, ph_sh, edges[0], params["conv"][0], width,
+                        axis, ph.shape[0]))
+        h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
+        h = h @ params["fc3"]["w"] + params["fc3"]["b"]
+        return h[None]
+
+    spec_x = P(axis)
+    spec_edges = tuple(
+        jax.tree_util.tree_map(lambda _: P(axis), e)
+        for e in parts["edges"])
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_x,) + spec_edges,
+        out_specs=P(axis),
+    )
+    out = fn(parts["x"], *parts["edges"])
+    return out.reshape(-1, out.shape[-1])
+
+
 __all__ = [
     "partition_multilevel_graph",
     "mgkn_general_apply_node_sharded",
+    "partition_multipole1d",
+    "mgkn_orthogonal_apply_node_sharded",
 ]

@@ -249,6 +249,44 @@ def test_mgkn_node_sharded_grads_flow(mgkn_setup):
             assert mx > 0, kind
 
 
+def test_mgkn_orthogonal_node_sharded_matches_single():
+    """Sharded orthogonal-MGKN V-cycle (sharded fine levels +
+    agglomerated coarse levels — the parallel-multigrid pattern) must
+    reproduce the single-device forward."""
+    from graph_pde_tpu.data import (burgers_dataset, prepare_burgers,
+                                    burgers_multipole_data)
+    from graph_pde_tpu.models import (MultipoleGraph1D,
+                                      MGKNOrthogonalConfig,
+                                      mgkn_orthogonal_init,
+                                      mgkn_orthogonal_apply)
+    from graph_pde_tpu.parallel import (partition_multipole1d,
+                                        mgkn_orthogonal_apply_node_sharded)
+
+    s = 256
+    bfields = burgers_dataset(1, s, seed=0)
+    arrays = prepare_burgers(bfields, n=1)
+    xs, ys, senders, receivers, attrs = burgers_multipole_data(arrays)
+    g0 = MultipoleGraph1D(
+        x=jnp.asarray(xs[0]),
+        senders=[jnp.asarray(se) for se in senders],
+        receivers=[jnp.asarray(r) for r in receivers],
+        attrs=[jnp.asarray(a[0]) for a in attrs],
+        y=jnp.asarray(ys[0]))
+    cfg = MGKNOrthogonalConfig(width=16, ker_width=32, depth=2, ker_in=4,
+                               in_width=2, s=s, impl="reference")
+    params = mgkn_orthogonal_init(jax.random.PRNGKey(0), cfg)
+    ref = mgkn_orthogonal_apply(params, cfg, g0)
+
+    mesh = make_mesh((8,), axis_names=("data",))
+    parts, meta = partition_multipole1d(g0, 8)
+    # fine levels sharded, coarse agglomerated
+    assert meta["lvl_sharded"][0] and not meta["lvl_sharded"][-1]
+    out = mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
+                                             mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_ring_halo_grads(setup):
     from graph_pde_tpu.parallel import (
         partition_graph_ring, gkn_apply_node_sharded_ring,
