@@ -46,6 +46,14 @@ class GKNConfig:
     use_bias: bool = True
     impl: str = "auto"
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'
+    # kcached only: differentiate the depth loop via the loop-level
+    # custom VJP (ops/kcached_loop.py). MEASURED SLOWER than plain
+    # autodiff (231 vs 205 ms/step at UAI1 full-grid scale) — the depth
+    # loop unrolls under jit, so XLA's own transpose already fuses the
+    # T dK outer products into one write; the hand VJP only adds
+    # stacking/transpose overhead (PERF_NOTES.md round-2). Kept as a
+    # tested building block. Ignored for blocked-CSR graphs.
+    loop_vjp: bool = False
 
     def resolved_kernel_layers(self) -> Tuple[int, ...]:
         if self.kernel_layers is not None:
@@ -112,6 +120,17 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             kp = jax.tree_util.tree_map(lambda p: p.astype(dtype), kp)
             attr = attr.astype(dtype)
         kk = dense_apply(kp, attr).astype(k_dtype)
+        if cfg.loop_vjp and not graph.node_block:
+            # one custom VJP over the whole depth loop: dK materialized
+            # once instead of per-iteration (ops/kcached_loop.py)
+            from ..ops.kcached_loop import kcached_depth_loop
+
+            x = kcached_depth_loop(
+                x, kk, params.get("root"), params.get("bias"),
+                graph.senders, graph.receivers, edge_mask,
+                depth=cfg.depth, width=cfg.width, aggr=cfg.aggr,
+                relu_last=cfg.relu_last)
+            return _gkn_decode(params, cfg, x)
         for t in range(cfg.depth):
             xj = gather_rows(x, graph.senders)
             msg = apply_cached_kernel(xj, kk, cfg.width, cfg.width)

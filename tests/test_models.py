@@ -279,6 +279,77 @@ def test_gkn_kcached_matches_reference_impl():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("relu_last,root_weight,use_bias,aggr", [
+    (True, True, True, "mean"),
+    (False, True, True, "mean"),
+    (True, False, False, "mean"),
+    (True, True, True, "add"),
+])
+def test_gkn_kcached_loop_vjp_parity(relu_last, root_weight, use_bias,
+                                     aggr):
+    """The loop-level custom VJP (ops/kcached_loop.py, opt-in — measured
+    slower than plain autodiff end-to-end, see its docstring) must match
+    plain-autodiff kcached in forward values and parameter gradients."""
+    import dataclasses
+    g = _tiny_gkn_graph()
+    cfg = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6, in_width=3,
+                    impl="kcached", relu_last=relu_last,
+                    root_weight=root_weight, use_bias=use_bias, aggr=aggr,
+                    loop_vjp=False)
+    cfg_lv = dataclasses.replace(cfg, loop_vjp=True)
+    params = gkn_init(jax.random.PRNGKey(33), cfg)
+    o0 = gkn_apply(params, cfg, g)
+    o1 = gkn_apply(params, cfg_lv, g)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(c):
+        return lambda p: jnp.sum(gkn_apply(p, c, g) ** 2)
+
+    g0 = jax.grad(loss(cfg))(params)
+    g1 = jax.grad(loss(cfg_lv))(params)
+    for (k0, a), (k1, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g0),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g1),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=str(k0))
+
+
+def test_gkn_kcached_loop_vjp_batched_jit():
+    """loop-VJP under vmap (stacked batch) + jit + grad."""
+    import dataclasses
+    cfg = GKNConfig(width=8, ker_width=16, depth=2, ker_in=6, in_width=3,
+                    impl="kcached", loop_vjp=True)
+    params = gkn_init(jax.random.PRNGKey(34), cfg)
+    graphs = stack_graphs([_tiny_gkn_graph(seed=i) for i in range(3)])
+
+    @jax.jit
+    def loss(p):
+        out = gkn_apply_batched(p, cfg, graphs)
+        mask = jax.vmap(lambda g: g.node_mask())(graphs)
+        return jnp.sum((out[..., 0] * mask - graphs.y[..., 0] * mask) ** 2)
+
+    l, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    cfg0 = dataclasses.replace(cfg, loop_vjp=False)
+
+    @jax.jit
+    def loss0(p):
+        out = gkn_apply_batched(p, cfg0, graphs)
+        mask = jax.vmap(lambda g: g.node_mask())(graphs)
+        return jnp.sum((out[..., 0] * mask - graphs.y[..., 0] * mask) ** 2)
+
+    l0, grads0 = jax.value_and_grad(loss0)(params)
+    np.testing.assert_allclose(float(l), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads0),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_mgkn_kcached_parity():
     import dataclasses
     g = _tiny_multilevel()
