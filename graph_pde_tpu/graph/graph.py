@@ -24,6 +24,21 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+def _sorted_span_flag(receivers_padded: np.ndarray, limit: int = 64) -> int:
+    """Host-side verification of the block-local one-hot span bound
+    (ops/segment.py sorted_block_segment_reduce): returns ``limit`` when
+    every _SORTED_BLOCK_EB-edge block of the (sorted, padded) receiver
+    array spans < ``limit`` distinct-node range, else 0 (keep scatter)."""
+    from ..ops.segment import _SORTED_BLOCK_EB as eb
+
+    e = receivers_padded.shape[0]
+    if e == 0 or e % eb != 0:
+        return 0
+    rb = receivers_padded.reshape(-1, eb)
+    span = int((rb[:, -1] - rb[:, 0]).max()) + 1
+    return limit if span <= limit else 0
+
+
 @struct.dataclass
 class Graph:
     """A padded, receiver-sorted edge-list graph.
@@ -55,6 +70,14 @@ class Graph:
     # explicit mask (validity is no longer a prefix).
     edge_valid: Optional[jnp.ndarray] = None
     node_block: int = struct.field(pytree_node=False, default=0)
+    # Flat receiver-sorted layout only: host-verified bound for the
+    # block-local one-hot segment reduction (ops/segment.py
+    # sorted_block_segment_reduce) — within every _SORTED_BLOCK_EB-edge
+    # block, max(receiver) - min(receiver) < sorted_span. 0 = bound not
+    # verified (low-degree graphs can exceed it); the op then keeps the
+    # scatter fallback. Static aux: set at build, recomputed on repad,
+    # harmonized (min) across a stack.
+    sorted_span: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -183,6 +206,7 @@ def build_graph(
         n_edge=np.int32(e),
         y=yp,
         sample_idx=sip,
+        sorted_span=_sorted_span_flag(rp),
     )
 
 
@@ -364,6 +388,13 @@ def stack_graphs(graphs) -> Graph:
     """Stacks same-capacity graphs along a new leading batch axis."""
     import jax
 
+    graphs = list(graphs)
+    if graphs and isinstance(graphs[0], Graph):
+        # static aux must match across the stack; the span bound only
+        # holds for the batch if it holds for every member
+        span = min(g.sorted_span for g in graphs)
+        graphs = [g.replace(sorted_span=span) if g.sorted_span != span
+                  else g for g in graphs]
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *graphs)
 
 
@@ -381,15 +412,16 @@ def repad_edges(g: Graph, e_pad: int) -> Graph:
         return g
     extra = e_pad - e
     n_pad = g.x.shape[0]
+    receivers = np.concatenate(
+        [np.asarray(g.receivers), np.full(extra, n_pad - 1, np.int32)])
     return g.replace(
         senders=np.concatenate(
             [np.asarray(g.senders), np.zeros(extra, np.int32)]),
-        receivers=np.concatenate(
-            [np.asarray(g.receivers),
-             np.full(extra, n_pad - 1, np.int32)]),
+        receivers=receivers,
         edge_attr=np.concatenate(
             [np.asarray(g.edge_attr),
              np.zeros((extra, g.edge_attr.shape[1]), np.float32)]),
+        sorted_span=_sorted_span_flag(receivers),
     )
 
 

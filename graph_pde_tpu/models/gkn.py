@@ -129,7 +129,7 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
                 x, kk, params.get("root"), params.get("bias"),
                 graph.senders, graph.receivers, edge_mask,
                 depth=cfg.depth, width=cfg.width, aggr=cfg.aggr,
-                relu_last=cfg.relu_last)
+                relu_last=cfg.relu_last, sorted_span=graph.sorted_span)
             return _gkn_decode(params, cfg, x)
         for t in range(cfg.depth):
             xj = gather_rows(x, graph.senders)
@@ -140,12 +140,14 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
                                            aggr=cfg.aggr)
             elif cfg.aggr == "mean":
                 out = masked_segment_mean(msg, graph.receivers, edge_mask,
-                                          x.shape[0])
+                                          x.shape[0],
+                                          sorted_span=graph.sorted_span)
             else:
                 from ..ops.segment import masked_segment_sum
 
                 out = masked_segment_sum(msg, graph.receivers, edge_mask,
-                                         x.shape[0])
+                                         x.shape[0],
+                                         sorted_span=graph.sorted_span)
             if "root" in params:
                 out = out + x @ params["root"]
             if "bias" in params:
@@ -162,7 +164,7 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             in_channels=cfg.width, out_channels=cfg.width, aggr=cfg.aggr,
             root=params.get("root"), bias=params.get("bias"),
             impl=cfg.impl, compute_dtype=dtype,
-            node_block=graph.node_block)
+            node_block=graph.node_block, sorted_span=graph.sorted_span)
         if t != cfg.depth - 1 or cfg.relu_last:
             x = jax.nn.relu(x)
     return _gkn_decode(params, cfg, x)

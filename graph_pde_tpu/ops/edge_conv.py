@@ -81,6 +81,7 @@ def edge_kernel_conv(
     chunk_size: int = 1024,
     compute_dtype=None,
     node_block: int = 0,
+    sorted_span: int = 0,
 ) -> jnp.ndarray:
     """Applies the edge-conditioned convolution on one padded graph.
 
@@ -124,9 +125,11 @@ def edge_kernel_conv(
         out = blocked_segment_mean(msg, receivers, edge_mask, n,
                                    node_block, aggr=aggr)
     elif aggr == "mean":
-        out = masked_segment_mean(msg, receivers, edge_mask, n)
+        out = masked_segment_mean(msg, receivers, edge_mask, n,
+                                  sorted_span=sorted_span)
     else:
-        out = masked_segment_sum(msg, receivers, edge_mask, n)
+        out = masked_segment_sum(msg, receivers, edge_mask, n,
+                                 sorted_span=sorted_span)
 
     if root is not None:
         out = out + x @ root

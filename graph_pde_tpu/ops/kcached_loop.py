@@ -70,15 +70,18 @@ def _contract_t(gmsg, kk3, width):
 
 
 @functools.lru_cache(maxsize=64)
-def _get_loop(depth, width, aggr, relu_last, has_root, has_bias):
+def _get_loop(depth, width, aggr, relu_last, has_root, has_bias,
+              sorted_span):
     def iterate(x, kk3, root, bias, senders, receivers, edge_mask):
         n = x.shape[0]
         xj = gather_rows(x, senders)
         msg = _contract(xj, kk3, width)
         if aggr == "mean":
-            out = masked_segment_mean(msg, receivers, edge_mask, n)
+            out = masked_segment_mean(msg, receivers, edge_mask, n,
+                                      sorted_span=sorted_span)
         else:
-            out = masked_segment_sum(msg, receivers, edge_mask, n)
+            out = masked_segment_sum(msg, receivers, edge_mask, n,
+                                     sorted_span=sorted_span)
         if has_root:
             out = out + x @ root
         if has_bias:
@@ -166,7 +169,7 @@ def _get_loop(depth, width, aggr, relu_last, has_root, has_bias):
 
 def kcached_depth_loop(x, kk, root, bias, senders, receivers, edge_mask,
                        *, depth: int, width: int, aggr: str = "mean",
-                       relu_last: bool = True):
+                       relu_last: bool = True, sorted_span: int = 0):
     """Depth-T kcached iteration with the loop-level VJP.
 
     Args:
@@ -178,7 +181,7 @@ def kcached_depth_loop(x, kk, root, bias, senders, receivers, edge_mask,
     Returns [N, w] f32 (the final iterate, ReLU'd per relu_last).
     """
     fn = _get_loop(depth, width, aggr, relu_last, root is not None,
-                   bias is not None)
+                   bias is not None, sorted_span)
     return fn(x, kk, root, bias, senders, receivers, edge_mask)
 
 

@@ -18,8 +18,23 @@ import jax.numpy as jnp
 # Nystrom regime (hundreds..thousands of nodes) we instead express the
 # reduction as a one-hot matmul on the MXU: out = onehot(ids)^T @ data.
 # The one-hot is built from iota compares (VPU) and the matmul runs at MXU
-# speed. Gated by the one-hot's size; big-N graphs keep the scatter path.
+# speed. Gated by the one-hot's size; big-N graphs take the block-local
+# one-hot path below when the builder verified the span bound, else the
+# scatter fallback.
 _ONEHOT_MAX_BYTES = 64 * 1024 * 1024
+
+# Block-local one-hot reduction for RECEIVER-SORTED edge lists at large N
+# (where the full [E, N] one-hot is too big): within any run of
+# _SORTED_BLOCK_EB consecutive edges, sortedness bounds the receiver SPAN,
+# so each block reduces onto a small local one-hot ([eb, span] MXU matmul)
+# and only nb*span partial rows hit the scatter — ~E/eb*span instead of E.
+# Measured at UAI1 full-grid scale (N=3728, E=383k, w=64, v5e): 3.1 ms fwd
+# / 4.8 ms fwd+bwd vs 8.9 / 9.6 for the sorted XLA scatter and 5.1 / 9.0
+# for a cumsum-diff formulation (scripts/segsum_shootout.py). The span
+# bound is a data property — verified HOST-SIDE at graph build
+# (graph/graph.py build_graph -> Graph.sorted_span, static aux) and
+# threaded here via ``sorted_span``.
+_SORTED_BLOCK_EB = 512
 
 
 def _use_onehot(num_edges: int, num_segments: int) -> bool:
@@ -49,10 +64,63 @@ def segment_sum(data, segment_ids, num_segments: int,
         indices_are_sorted=indices_are_sorted)
 
 
+def sorted_block_segment_reduce(data, receivers, mask, num_segments: int,
+                                span: int, mean: bool):
+    """Masked segment mean/sum over a receiver-sorted [E, w] edge stream
+    via block-local one-hot MXU matmuls (see _SORTED_BLOCK_EB note).
+
+    Requires (caller-verified, host-side): receivers sorted ascending,
+    E % _SORTED_BLOCK_EB == 0, and within every _SORTED_BLOCK_EB-edge
+    block max(receiver) - min(receiver) < span. Counts are exact (0/1
+    products, f32 accumulation); data rows see MXU bf16 input rounding —
+    the same contract as the full one-hot path.
+    """
+    e = receivers.shape[0]
+    eb = _SORTED_BLOCK_EB
+    nb = e // eb
+    m = mask.astype(data.dtype)
+    aug = jnp.concatenate([data * m[:, None], m[:, None]], axis=1)
+    rb = receivers.reshape(nb, eb)
+    base = rb[:, 0]
+    local = rb - base[:, None]  # in [0, span) by the builder's bound
+    seg = jax.lax.broadcasted_iota(jnp.int32, (nb, eb, span), 2)
+    oh = (local[:, :, None] == seg).astype(data.dtype)
+    part = jax.lax.dot_general(
+        oh, aug.reshape(nb, eb, -1),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [nb, span, w+1]
+    ids = (base[:, None]
+           + jnp.arange(span, dtype=receivers.dtype)[None]).reshape(-1)
+    # nb*span rows (~E/eb*span << E): the scatter cost scales with rows
+    out = jax.ops.segment_sum(part.reshape(nb * span, -1), ids,
+                              num_segments=num_segments + span)
+    out = out[:num_segments]
+    total = out[:, :-1]
+    if mean:
+        counts = jnp.maximum(out[:, -1:], 1.0)
+        return (total / counts).astype(data.dtype)
+    return total.astype(data.dtype)
+
+
+def _use_sorted_block(method, sorted_span, indices_are_sorted, e,
+                      num_segments):
+    if method == "blockoh":
+        return True
+    return (method == "auto" and sorted_span > 0 and indices_are_sorted
+            and not _use_onehot(e, num_segments)
+            and e % _SORTED_BLOCK_EB == 0)
+
+
 def masked_segment_sum(data, segment_ids, mask, num_segments: int,
                        indices_are_sorted: bool = True,
-                       method: str = "auto"):
+                       method: str = "auto", sorted_span: int = 0):
     """Sum of ``data`` rows per segment, counting only masked-in rows."""
+    if data.ndim == 2 and _use_sorted_block(
+            method, sorted_span, indices_are_sorted, segment_ids.shape[0],
+            num_segments):
+        return sorted_block_segment_reduce(
+            data, segment_ids, mask, num_segments,
+            span=sorted_span or 64, mean=False)
     m = mask.astype(data.dtype)
     if data.ndim > m.ndim:
         m = m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
@@ -63,10 +131,15 @@ def masked_segment_sum(data, segment_ids, mask, num_segments: int,
 def masked_segment_mean(data, segment_ids, mask, num_segments: int,
                         indices_are_sorted: bool = True,
                         count_dtype=jnp.float32,
-                        method: str = "auto"):
+                        method: str = "auto", sorted_span: int = 0):
     """Scatter-mean with PyG semantics: nodes receiving no (valid) message
     get zeros (count clamped to 1 in the divisor)."""
     e = segment_ids.shape[0]
+    if data.ndim == 2 and _use_sorted_block(
+            method, sorted_span, indices_are_sorted, e, num_segments):
+        return sorted_block_segment_reduce(
+            data, segment_ids, mask, num_segments,
+            span=sorted_span or 64, mean=True)
     if method == "onehot" or (method == "auto"
                               and _use_onehot(e, num_segments)):
         # one matmul produces sums and counts together:
@@ -141,6 +214,7 @@ __all__ = [
     "masked_segment_sum",
     "masked_segment_mean",
     "blocked_segment_mean",
+    "sorted_block_segment_reduce",
     "segment_degrees",
     "gather_rows",
 ]

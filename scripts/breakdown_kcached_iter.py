@@ -4,6 +4,10 @@ iteration separately on the live backend, amortized inside one jit with
 loop-carried dependencies (CLAUDE.md measurement caveats — XLA hoists
 loop-invariant bodies, so every stage feeds the carry).
 
+All large operands are passed as jit ARGUMENTS (device-resident), never
+closure constants — captured constants are embedded in the lowered
+module and a 3 GB K upload per compile wedges the remote compile helper.
+
 Stages:
   gather    x[senders]                        ([E, w] stream)
   contract  broadcast-reduce against bf16 K   (the K stream)
@@ -18,15 +22,16 @@ import time
 import numpy as np
 
 
-def timed(fn, x, iters, label):
+def timed(fn, x, consts, iters, label):
+    """fn(x, *consts) -> array like x; amortized over `iters` in one jit."""
     import jax
 
-    f = jax.jit(lambda x: jax.lax.fori_loop(
-        0, iters, lambda i, c: fn(c) + 1e-12 * c, x))
-    r = f(x)
+    f = jax.jit(lambda x, *cs: jax.lax.fori_loop(
+        0, iters, lambda i, c: fn(c, *cs) + 1e-12 * c, x))
+    r = f(x, *consts)
     float(r.ravel()[0])  # compile + sync
     t0 = time.perf_counter()
-    r = f(x)
+    r = f(x, *consts)
     float(r.ravel()[0])
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{label:>10}: {dt:7.2f} ms/iter", flush=True)
@@ -50,7 +55,8 @@ def main():
     graphs = darcy_gkn_graphs(arrays, m=None, radius=0.1, seed=0)
     senders = jnp.asarray(graphs.senders[0])
     receivers = jnp.asarray(graphs.receivers[0])
-    mask = jnp.asarray(graphs.edge_mask()[0])
+    mask = jnp.asarray(
+        np.arange(graphs.senders.shape[1]) < int(np.asarray(graphs.n_edge)[0]))
     e = senders.shape[0]
     nn = graphs.x.shape[1]
     w = 64
@@ -58,61 +64,50 @@ def main():
 
     key = jax.random.PRNGKey(0)
     x0 = jax.random.normal(key, (nn, w), jnp.float32)
-    kk = jax.random.normal(key, (e, w * w), jnp.float32).astype(jnp.bfloat16)
-    kk3 = kk.reshape(e, w, w)
+    kk3 = jax.random.normal(key, (e, w, w), jnp.float32).astype(jnp.bfloat16)
     xj0 = jax.random.normal(key, (e, w), jnp.float32)
-    senders, receivers, mask, kk3, xj0 = jax.device_put(
-        (senders, receivers, mask, kk3, xj0))
+    senders, receivers, mask, kk3, xj0, x0 = jax.device_put(
+        (senders, receivers, mask, kk3, xj0, x0))
 
     iters = 20
 
-    timed(lambda x: x[senders].sum(0, keepdims=True) * 0 + x,
-          x0, iters, "gather")
+    timed(lambda x, s: x[s].sum(0, keepdims=True) * 1e-12 + x,
+          x0, (senders,), iters, "gather")
 
-    def contract(xj):
-        msg = jnp.sum(kk3 * xj.astype(kk3.dtype)[:, :, None], axis=1,
+    def contract(xj, k3):
+        msg = jnp.sum(k3 * xj.astype(k3.dtype)[:, :, None], axis=1,
                       dtype=jnp.float32)
         return msg[:, :w] * 1e-6 + xj  # keep shape [E, w], carry dep
 
-    timed(contract, xj0, iters, "contract")
+    timed(contract, xj0, (kk3,), iters, "contract")
 
-    def segsum(xj):
-        out = masked_segment_mean(xj, receivers, mask, nn)
+    def segsum(xj, recv, m):
+        out = masked_segment_mean(xj, recv, m, nn)
         return xj + out.sum() * 1e-12
 
-    timed(segsum, xj0, iters, "segsum")
+    timed(segsum, xj0, (receivers, mask), iters, "segsum")
 
-    def iter_fwd(x):
-        xj = x[senders]
-        msg = jnp.sum(kk3 * xj.astype(kk3.dtype)[:, :, None], axis=1,
-                      dtype=jnp.float32)
-        return jax.nn.relu(masked_segment_mean(msg, receivers, mask, nn))
-
-    timed(iter_fwd, x0, iters, "iter_fwd")
-
-    def loss(x, k3):
-        return jnp.sum(iter_fwd_k(x, k3) ** 2)
-
-    def iter_fwd_k(x, k3):
-        xj = x[senders]
+    def iter_fwd(x, k3, s, recv, m):
+        xj = x[s]
         msg = jnp.sum(k3 * xj.astype(k3.dtype)[:, :, None], axis=1,
                       dtype=jnp.float32)
-        return jax.nn.relu(masked_segment_mean(msg, receivers, mask, nn))
+        return jax.nn.relu(masked_segment_mean(msg, recv, m, nn))
 
-    grad = jax.grad(loss, argnums=(0, 1))
+    timed(iter_fwd, x0, (kk3, senders, receivers, mask), iters, "iter_fwd")
 
-    def iter_all(x):
-        gx, gk = grad(x, kk3)
+    def iter_all(x, k3, s, recv, m):
+        def loss(x, k3):
+            return jnp.sum(iter_fwd(x, k3, s, recv, m) ** 2)
+
+        gx, gk = jax.grad(loss, argnums=(0, 1))(x, k3)
         return x + 1e-12 * gx + 1e-12 * gk.sum(axis=(0, 1))[None].astype(
             jnp.float32)
 
-    timed(iter_all, x0, iters, "iter_all")
+    timed(iter_all, x0, (kk3, senders, receivers, mask), iters, "iter_all")
 
     # one-hot gather variant (MXU) for comparison at this N
-    timed(lambda x: gather_rows(x, senders, method="onehot").sum(
-        0, keepdims=True) * 0 + x, x0, 5, "gather_oh")
-
-    # blocked one-hot segment mean comparison is in PERF_NOTES (no help).
+    timed(lambda x, s: gather_rows(x, s, method="onehot").sum(
+        0, keepdims=True) * 1e-12 + x, x0, (senders,), 5, "gather_oh")
 
 
 if __name__ == "__main__":

@@ -311,3 +311,159 @@ def test_gkn_blocked_layout_matches_flat():
     np.testing.assert_allclose(np.asarray(o_blk)[:36],
                                np.asarray(o_flat)[:36], rtol=1e-4,
                                atol=1e-5)
+
+
+def _sorted_padded_edges(rng, n, deg, e_pad_mult=512):
+    """Receiver-sorted edge list with >= deg edges per node (span per
+    512-edge block stays < 64) padded at the tail to a multiple of 512."""
+    dst = np.repeat(np.arange(n), deg)
+    src = rng.integers(0, n, size=dst.size)
+    order = np.lexsort((src, dst))
+    src, dst = src[order], dst[order]
+    e = src.size
+    from graph_pde_tpu.graph.graph import round_up
+    e_pad = round_up(e, e_pad_mult)
+    senders = np.zeros(e_pad, np.int32)
+    senders[:e] = src
+    receivers = np.full(e_pad, n - 1, np.int32)
+    receivers[:e] = dst
+    mask = np.arange(e_pad) < e
+    return senders, receivers, mask, e
+
+
+@pytest.mark.parametrize("mean", [True, False])
+def test_sorted_block_segment_reduce_matches_scatter(mean):
+    """Block-local one-hot sorted reduction (the big-N fast path for
+    flat receiver-sorted layouts, ops/segment.py) vs the scatter oracle:
+    values and grads."""
+    from graph_pde_tpu.ops.segment import (sorted_block_segment_reduce,
+                                           masked_segment_sum)
+
+    rng = np.random.default_rng(7)
+    n, w, deg = 40, 8, 30
+    senders, receivers, mask, e = _sorted_padded_edges(rng, n, deg)
+    data = rng.normal(size=(senders.shape[0], w)).astype(np.float32)
+    data_j, recv_j = jnp.asarray(data), jnp.asarray(receivers)
+    mask_j = jnp.asarray(mask)
+
+    got = sorted_block_segment_reduce(data_j, recv_j, mask_j, n,
+                                      span=64, mean=mean)
+    if mean:
+        want = masked_segment_mean(data_j, recv_j, mask_j, n,
+                                   method="scatter")
+    else:
+        want = masked_segment_sum(data_j, recv_j, mask_j, n,
+                                  method="scatter")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_block(d):
+        return jnp.sum(sorted_block_segment_reduce(
+            d, recv_j, mask_j, n, span=64, mean=mean) ** 2)
+
+    def loss_scatter(d):
+        if mean:
+            o = masked_segment_mean(d, recv_j, mask_j, n, method="scatter")
+        else:
+            o = masked_segment_sum(d, recv_j, mask_j, n, method="scatter")
+        return jnp.sum(o ** 2)
+
+    g0 = jax.grad(loss_scatter)(data_j)
+    g1 = jax.grad(loss_block)(data_j)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sorted_block_reduce_empty_segments_and_gate():
+    """Nodes with no valid edges get zeros (PyG scatter_mean parity);
+    the auto gate only fires when the host-verified span flag is set,
+    indices are sorted, E divides the block size, and the full one-hot
+    is too big."""
+    from graph_pde_tpu.ops.segment import (_use_sorted_block,
+                                           sorted_block_segment_reduce)
+
+    rng = np.random.default_rng(8)
+    n = 40
+    senders, receivers, mask, e = _sorted_padded_edges(rng, n, deg=30)
+    # mask out every edge of node 3
+    mask = mask & (receivers != 3)
+    data = rng.normal(size=(senders.shape[0], 4)).astype(np.float32)
+    out = sorted_block_segment_reduce(
+        jnp.asarray(data), jnp.asarray(receivers), jnp.asarray(mask), n,
+        span=64, mean=True)
+    np.testing.assert_allclose(np.asarray(out)[3], 0.0, atol=1e-7)
+
+    big = 10**9  # force the full one-hot gate off
+    assert _use_sorted_block("auto", 64, True, 512 * 4, big)
+    assert not _use_sorted_block("auto", 0, True, 512 * 4, big)
+    assert not _use_sorted_block("auto", 64, False, 512 * 4, big)
+    assert not _use_sorted_block("auto", 64, True, 512 * 4 + 8, big)
+    assert not _use_sorted_block("auto", 64, True, 512 * 4, 16)  # one-hot wins
+    assert _use_sorted_block("blockoh", 0, False, 7, 3)  # explicit
+
+
+def test_build_graph_sorted_span_flag():
+    """build_graph verifies the span bound host-side: dense radius-style
+    graphs get the flag, low-degree graphs (span over 64 within a
+    512-edge block) do not; repad and stack keep it consistent."""
+    from graph_pde_tpu.graph import build_graph, stack_graphs, repad_edges
+
+    rng = np.random.default_rng(9)
+    n, deg = 48, 30
+    dst = np.repeat(np.arange(n), deg)
+    src = rng.integers(0, n, size=dst.size)
+    attr = rng.normal(size=(dst.size, 3)).astype(np.float32)
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    g = build_graph(x, src, dst, attr)
+    assert g.sorted_span == 64
+
+    # degree-2 chain: a 512-edge block spans ~256 nodes -> flag off
+    n2 = 600
+    dst2 = np.repeat(np.arange(n2), 2)
+    src2 = rng.integers(0, n2, size=dst2.size)
+    attr2 = rng.normal(size=(dst2.size, 3)).astype(np.float32)
+    x2 = rng.normal(size=(n2, 4)).astype(np.float32)
+    g2 = build_graph(x2, src2, dst2, attr2)
+    assert g2.sorted_span == 0
+
+    # repad keeps the bound verified on the new padding
+    g3 = repad_edges(g, g.senders.shape[0] + 512)
+    assert g3.sorted_span == 64
+
+    # stacking harmonizes static aux to the min across members
+    ga = build_graph(x, src, dst, attr)
+    gb = ga.replace(sorted_span=0)
+    stacked = stack_graphs([ga, gb])
+    assert stacked.sorted_span == 0
+
+
+def test_gkn_kcached_blockoh_matches_reference():
+    """End-to-end GKN kcached with the sorted block-local one-hot
+    aggregation forced (tiny graph, gate bypassed via method plumbing:
+    shrink the one-hot budget so the auto gate picks blockoh)."""
+    from graph_pde_tpu.graph import build_graph
+    from graph_pde_tpu.models import GKNConfig, gkn_init, gkn_apply
+    from graph_pde_tpu.ops import segment as seg
+
+    rng = np.random.default_rng(10)
+    n, deg = 48, 30
+    dst = np.repeat(np.arange(n), deg)
+    src = rng.integers(0, n, size=dst.size)
+    attr = rng.normal(size=(dst.size, 6)).astype(np.float32)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    g = build_graph(x, src, dst, attr)
+    assert g.sorted_span == 64
+
+    cfg = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6, in_width=3,
+                    impl="kcached")
+    params = gkn_init(jax.random.PRNGKey(40), cfg)
+    o_ref = gkn_apply(params, cfg, g)
+
+    old = seg._ONEHOT_MAX_BYTES
+    seg._ONEHOT_MAX_BYTES = 0  # force the big-N branch on a tiny graph
+    try:
+        o_blk = gkn_apply(params, cfg, g)
+    finally:
+        seg._ONEHOT_MAX_BYTES = old
+    np.testing.assert_allclose(np.asarray(o_blk), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-5)
