@@ -4,6 +4,7 @@ from .graph import (
     build_graph,
     build_multilevel_graph,
     stack_graphs,
+    flatten_stacked,
     repad_edges,
     round_up,
 )
@@ -41,7 +42,7 @@ from .splitters import (
 
 __all__ = [
     "Graph", "MultiLevelGraph", "build_graph", "build_multilevel_graph",
-    "stack_graphs", "repad_edges", "round_up",
+    "stack_graphs", "flatten_stacked", "repad_edges", "round_up",
     "radius_connectivity", "forward_filter", "gaussian_connectivity",
     "torus1d_connectivity", "torus2d_connectivity", "edge_attributes",
     "make_box_grid", "SquareMeshGenerator", "RandomMeshGenerator",

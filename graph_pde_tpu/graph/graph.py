@@ -398,6 +398,52 @@ def stack_graphs(graphs) -> Graph:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *graphs)
 
 
+def flatten_stacked(g: Graph) -> Graph:
+    """Flattens a stacked batch of same-capacity graphs into ONE
+    disjoint-union graph (PyG's batching strategy, done statically).
+
+    The reference's DataLoader batches graphs as a disjoint union
+    (node indices offset per graph, e.g. UAI1_full_resolution.py:223);
+    our stacked layout instead vmaps per graph. For SMALL graphs the
+    union layout feeds the segment/gather kernels one B*E-edge stream
+    instead of B separate E-edge islands — longer MXU blocks, one
+    aggregation instead of B (PERF_NOTES.md small-graph batching).
+
+    jit-compatible (pure reshape + offset adds). Properties preserved:
+    - receivers stay globally sorted: graph b's receivers (padding
+      parked at N_pad-1) land in [b*N_pad, (b+1)*N_pad), below graph
+      b+1's range.
+    - the sorted-span bound still holds: per-graph edge capacities are
+      _SORTED_BLOCK_EB multiples (edge_multiple=512 in build_graph), so
+      no 512-edge block straddles a graph boundary.
+    Valid nodes are NOT a prefix of the flat array — n_node is set to
+    the full capacity and edge validity rides the explicit edge_valid
+    mask; per-node losses must keep masking on the stacked view.
+    """
+    assert g.node_block == 0, "flatten_stacked: blocked-CSR not supported"
+    assert g.x.ndim == 3, "flatten_stacked expects a stacked batch"
+    b, n_pad = g.x.shape[0], g.x.shape[1]
+    e_pad = g.senders.shape[1]
+    offs = (jnp.arange(b, dtype=g.senders.dtype) * n_pad)[:, None]
+    if g.edge_valid is not None:
+        ev = g.edge_valid
+    else:
+        ev = jnp.arange(e_pad, dtype=g.n_edge.dtype)[None] < g.n_edge[:, None]
+    return Graph(
+        x=g.x.reshape(b * n_pad, -1),
+        senders=(g.senders + offs).reshape(b * e_pad),
+        receivers=(g.receivers + offs).reshape(b * e_pad),
+        edge_attr=g.edge_attr.reshape(b * e_pad, -1),
+        n_node=jnp.asarray(b * n_pad, jnp.int32),
+        n_edge=jnp.asarray(b * e_pad, jnp.int32),
+        y=None if g.y is None else g.y.reshape(b * n_pad, -1),
+        sample_idx=(None if g.sample_idx is None
+                    else g.sample_idx.reshape(b * n_pad)),
+        edge_valid=ev.reshape(b * e_pad),
+        sorted_span=g.sorted_span,
+    )
+
+
 def repad_edges(g: Graph, e_pad: int) -> Graph:
     """Grows a (non-blocked) graph's edge capacity to ``e_pad``.
 
@@ -438,6 +484,7 @@ __all__ = [
     "build_graph",
     "build_multilevel_graph",
     "stack_graphs",
+    "flatten_stacked",
     "repad_edges",
     "round_up",
 ]

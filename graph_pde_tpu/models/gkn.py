@@ -54,6 +54,11 @@ class GKNConfig:
     # stacking/transpose overhead (PERF_NOTES.md round-2). Kept as a
     # tested building block. Ignored for blocked-CSR graphs.
     loop_vjp: bool = False
+    # 'vmap': per-graph forward vmapped over the stack. 'flatten': the
+    # batch becomes ONE disjoint-union graph (PyG's batching layout,
+    # graph/graph.py flatten_stacked) — for small graphs this feeds the
+    # gather/segment kernels one B*E-edge stream instead of B islands.
+    batch_mode: str = "vmap"
 
     def resolved_kernel_layers(self) -> Tuple[int, ...]:
         if self.kernel_layers is not None:
@@ -180,7 +185,18 @@ def _gkn_decode(params, cfg: GKNConfig, x):
 
 
 def gkn_apply_batched(params, cfg: GKNConfig, graphs: Graph) -> jnp.ndarray:
-    """vmap over a stacked batch of graphs -> [B, N_pad, out_width]."""
+    """Batched forward over a stacked batch -> [B, N_pad, out_width].
+
+    batch_mode='flatten' runs the whole batch as one disjoint-union
+    graph (identical math: per-edge messages are unchanged and the mean
+    counts each graph's valid edges per receiver; padding nodes never
+    appear on valid edges)."""
+    if cfg.batch_mode == "flatten" and graphs.node_block == 0:
+        from ..graph.graph import flatten_stacked
+
+        b, n_pad = graphs.x.shape[0], graphs.x.shape[1]
+        out = gkn_apply(params, cfg, flatten_stacked(graphs))
+        return out.reshape(b, n_pad, -1)
     return jax.vmap(lambda g: gkn_apply(params, cfg, g))(graphs)
 
 

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from .trainer import Task
-from ..models.gkn import GKNConfig, gkn_apply
+from ..models.gkn import GKNConfig, gkn_apply, gkn_apply_batched
 from ..models.gcn import GCNConfig, gcn_apply
 from ..models.mgkn_general import MGKNGeneralConfig, mgkn_general_apply
 from ..models.mgkn_orthogonal import (
@@ -45,7 +45,7 @@ class GKNTask(_NormalizerDecodeMixin, Task):
         self.use_sample_idx = use_sample_idx
 
     def forward(self, params, batch):
-        return jax.vmap(lambda g: gkn_apply(params, self.cfg, g))(batch)
+        return gkn_apply_batched(params, self.cfg, batch)
 
     def mask(self, batch):
         return _node_mask_batched(batch)

@@ -374,3 +374,49 @@ def test_mgkn_kcached_parity():
         params_o, dataclasses.replace(cfg_o, impl="kcached"), go)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_gkn_flatten_batch_parity():
+    """batch_mode='flatten' (one disjoint-union graph per batch, the
+    reference DataLoader's layout, UAI1_full_resolution.py:223) must
+    match the vmapped stacked forward exactly on valid nodes, for both
+    the reference and kcached paths — including ragged valid counts and
+    gradient flow."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    gs = []
+    for i in range(3):
+        n = 18 + 3 * i
+        e = 50 + 11 * i
+        s = rng.integers(0, n, e)
+        r = rng.integers(0, n, e)
+        gs.append(build_graph(
+            rng.normal(size=(n, 6)), s, r, rng.normal(size=(e, 6)),
+            y=rng.normal(size=(n,)), n_node_pad=32, n_edge_pad=512))
+    batch = jax.tree_util.tree_map(jnp.asarray, stack_graphs(gs))
+    valid = np.arange(32)[None] < np.asarray(batch.n_node)[:, None]
+
+    base = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6, in_width=6)
+    params = gkn_init(jax.random.PRNGKey(0), base)
+    for impl in ("reference", "kcached"):
+        c_v = dataclasses.replace(base, impl=impl, batch_mode="vmap")
+        c_f = dataclasses.replace(base, impl=impl, batch_mode="flatten")
+        o_v = gkn_apply_batched(params, c_v, batch)
+        o_f = jax.jit(
+            lambda p, b: gkn_apply_batched(p, c_f, b))(params, batch)
+        assert o_f.shape == o_v.shape
+        np.testing.assert_allclose(
+            np.asarray(o_f)[valid], np.asarray(o_v)[valid],
+            rtol=1e-5, atol=1e-6)
+
+        def loss(p, cfg=c_f):
+            out = gkn_apply_batched(p, cfg, batch)
+            return jnp.sum((out[..., 0] * valid) ** 2)
+
+        g_f = jax.grad(loss)(params)
+        g_v = jax.grad(lambda p: loss(p, c_v))(params)
+        for kf, kv in zip(jax.tree_util.tree_leaves(g_f),
+                          jax.tree_util.tree_leaves(g_v)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(kv),
+                                       rtol=1e-4, atol=1e-5)
