@@ -125,3 +125,30 @@ def test_checkpoint_roundtrip(tmp_path, darcy_fields):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fit_multi_epoch_chunks(darcy_fields):
+    """epochs_per_jit>1 (K epochs scanned in one jit, on-device shuffle)
+    must train equivalently to the per-epoch path: same history lengths,
+    comparable convergence, and checkpointing still lands."""
+    arrays, norms = prepare_darcy(darcy_fields, n=12, u_norm="unit")
+    train_g = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="l1",
+                   use_sample_idx=False)
+    tc1 = TrainConfig(epochs=10, batch_size=4, learning_rate=2e-3,
+                      loss="l1", epochs_per_jit=1)
+    tc4 = TrainConfig(epochs=10, batch_size=4, learning_rate=2e-3,
+                      loss="l1", epochs_per_jit=4)  # chunks 4+4+2
+    r1 = fit(task, params, train_g, tc1, test_data=train_g)
+    r4 = fit(task, params, train_g, tc4, test_data=train_g)
+    assert len(r4.train_l2) == 10 and len(r4.epoch_times) == 10
+    # test eval at chunk boundaries only: ceil(10/4) = 3 entries
+    assert len(r4.test_l2) == 3
+    # same optimization problem, different shuffle RNG: end-of-training
+    # error must agree to ~20% relative
+    assert abs(r4.train_l2[-1] - r1.train_l2[-1]) < 0.2 * r1.train_l2[-1]
+    assert r4.train_l2[-1] < 0.5 * r4.train_l2[0]
