@@ -57,6 +57,10 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None  # 'bfloat16': bf16 kappa MLP +
     #                                   bf16 cached K (halves the HBM-
     #                                   bound per-iteration K stream)
+    # >1: scan this many epochs per jit dispatch (train.trainer
+    # make_multi_epoch_fn) — amortizes per-epoch dispatch/readback on
+    # tunneled backends; test eval then runs at chunk boundaries.
+    epochs_per_jit: int = 1
     torus_T: int = 3                  # T-step targets (torus_t family)
     assemble_sigma: float = 1.0       # assembleT smoothing (reference
     #                                   default, mp/utilities.py:1403)

@@ -131,7 +131,7 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
                      weight_decay=cfg.weight_decay,
                      scheduler_step=cfg.scheduler_step,
                      scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
-                     seed=cfg.seed)
+                     seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
     res = fit(task, params, train_g, tc, test_data=test_g,
               callback=progress)
     result = {
@@ -397,7 +397,7 @@ def _run_gcn(cfg: ExperimentConfig, progress=None) -> Dict:
                      weight_decay=cfg.weight_decay,
                      scheduler_step=cfg.scheduler_step,
                      scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
-                     seed=cfg.seed)
+                     seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
     res = fit(task, params, train_g, tc, callback=progress)
     return {"config": cfg.name, "train_l2": res.train_l2,
             "epoch_times": res.epoch_times, "params": res.params}
@@ -441,7 +441,7 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
                      weight_decay=cfg.weight_decay,
                      scheduler_step=cfg.scheduler_step,
                      scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
-                     seed=cfg.seed)
+                     seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
     res = fit(task, params, train_g, tc, test_data=test_g,
               callback=progress)
     result = {"config": cfg.name, "train_l2": res.train_l2,
@@ -693,7 +693,7 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
                      weight_decay=cfg.weight_decay,
                      scheduler_step=cfg.scheduler_step,
                      scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
-                     seed=cfg.seed)
+                     seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
     res = fit(task, params, train_g, tc, test_data=test_g,
               callback=progress)
     return {"config": cfg.name, "train_l2": res.train_l2,
