@@ -57,6 +57,10 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None  # 'bfloat16': bf16 kappa MLP +
     #                                   bf16 cached K (halves the HBM-
     #                                   bound per-iteration K stream)
+    k_storage: Optional[str] = None   # 'float8_e4m3'/'float8_e5m2':
+    #                                   fp8 storage of the cached K
+    #                                   (kcached GKN; halves the K
+    #                                   stream again, RESULTS.md)
     # >1: scan this many epochs per jit dispatch (train.trainer
     # make_multi_epoch_fn) — amortizes per-epoch dispatch/readback on
     # tunneled backends; test eval then runs at chunk boundaries.

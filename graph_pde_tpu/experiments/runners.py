@@ -119,7 +119,7 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
         kernel_layers=_kernel_layers(cfg, ker_in),
         relu_last=(cfg.relu_last or cfg.kernel_variant == "nn"),
         decoder_mlp=cfg.decoder_mlp, impl=cfg.impl,
-        compute_dtype=cfg.compute_dtype)
+        compute_dtype=cfg.compute_dtype, k_storage=cfg.k_storage)
     params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
     # per-node (unit) stats must be gathered at each node's grid index;
     # padded node arrays make direct broadcasting impossible
@@ -580,7 +580,8 @@ def _run_torus_timeseries(cfg: ExperimentConfig, progress=None) -> Dict:
                      depth=cfg.depth, ker_in=5, in_width=3, out_width=T,
                      kernel_layers=_kernel_layers(cfg, 5),
                      relu_last=False, impl=cfg.impl,
-                     compute_dtype=cfg.compute_dtype)
+                     compute_dtype=cfg.compute_dtype,
+                     k_storage=cfg.k_storage)
     params = gkn_init(jax.random.PRNGKey(cfg.seed), mcfg)
     tx = adam_steplr(cfg.learning_rate, weight_decay=cfg.weight_decay,
                      steps_per_epoch=max(cfg.ntrain // cfg.batch_size, 1),

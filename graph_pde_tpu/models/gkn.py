@@ -59,6 +59,15 @@ class GKNConfig:
     # graph/graph.py flatten_stacked) — for small graphs this feeds the
     # gather/segment kernels one B*E-edge stream instead of B islands.
     batch_mode: str = "vmap"
+    # kcached only: storage dtype for the cached kernel matrices K.
+    # None = f32/bf16 per compute_dtype and the HBM gate below;
+    # 'float8_e4m3' / 'float8_e5m2' quantize the cached K to fp8
+    # values behind a straight-through estimator (forward sees
+    # fp8-rounded K, the dK cotangent passes through at full
+    # precision — ops/cached_contraction.py quantize_ste). A naive
+    # fp8-dtyped K makes the dK cotangent fp8 too and wrecks
+    # convergence (uai3 A/B in RESULTS.md).
+    k_storage: Optional[str] = None
 
     def resolved_kernel_layers(self) -> Tuple[int, ...]:
         if self.kernel_layers is not None:
@@ -115,6 +124,8 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
         big = e * cfg.width * cfg.width * 4 > 2 * 1024 ** 3
         k_dtype = (jnp.bfloat16 if (dtype is not None or big)
                    else jnp.float32)
+        fp8_dtype = {"float8_e4m3": jnp.float8_e4m3fn,
+                     "float8_e5m2": jnp.float8_e5m2}.get(cfg.k_storage)
         kp, attr = params["kernel"], graph.edge_attr
         if dtype is not None:
             # full-bf16 kappa MLP: at full-grid scale (UAI1: E~383k,
@@ -125,6 +136,16 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             kp = jax.tree_util.tree_map(lambda p: p.astype(dtype), kp)
             attr = attr.astype(dtype)
         kk = dense_apply(kp, attr).astype(k_dtype)
+        if fp8_dtype is not None:
+            # fp8 STORAGE of the cached K (halves the per-iteration
+            # stream again; measured 7.5 -> 5.6 ms/iter at E=383k,
+            # scripts/fp8_shootout.py) behind a straight-through
+            # estimator: forward quantizes, backward passes dK through
+            # at full precision — an fp8 dK cotangent measurably
+            # wrecks convergence (uai3 A/B in RESULTS.md).
+            from ..ops.cached_contraction import quantize_ste
+
+            kk = quantize_ste(kk, fp8_dtype)
         if cfg.loop_vjp and not graph.node_block:
             # one custom VJP over the whole depth loop: dK materialized
             # once instead of per-iteration (ops/kcached_loop.py)

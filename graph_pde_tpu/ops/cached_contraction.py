@@ -214,8 +214,55 @@ def apply_cached_kernel(x_src, kk2d, in_channels, out_channels):
     import jax.numpy as jnp
 
     kk = kk2d.reshape(x_src.shape[0], in_channels, out_channels)
+    if kk.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 is a STORAGE format only: upcast to bf16 for the multiply
+        # (fp8*fp8 products would also quantize x). The fp8->bf16
+        # convert runs at stream rate on the v5e — measured 7.5 -> 5.6
+        # ms/iter at E=383k vs bf16 storage (scripts/fp8_shootout.py).
+        kk = kk.astype(jnp.bfloat16)
     return jnp.sum(kk * x_src.astype(kk.dtype)[:, :, None], axis=1,
                    dtype=jnp.float32)
 
 
 __all__.append("apply_cached_kernel")
+
+
+def quantize_ste(x, dtype):
+    """Straight-through fp8 quantization of the cached kernel matrices.
+
+    Forward value: x rounded to `dtype` (f8_e4m3/f8_e5m2) and upcast
+    back to x.dtype, so downstream consumers see fp8-quantized VALUES
+    but the array DTYPE stays bf16/f32. Backward: identity (the
+    custom_jvp passes the tangent through untouched), so the dK
+    cotangent reaching the kappa-MLP backward keeps full precision —
+    threading an actual fp8-dtyped array through the depth loop instead
+    makes JAX's cotangents fp8 too (cotangent dtype == primal dtype),
+    which measurably wrecks convergence (uai3 A/B in RESULTS.md:
+    0.249 vs 0.108 control test rel-L2).
+
+    The optimization_barrier pins the fp8 array as the materialized
+    value so XLA cannot fold quantize+upcast into an identity; the
+    upcast is a cheap duplicable convert that fuses into each depth
+    iteration's consumer fusion, so the loop-resident K stream reads
+    1 byte/elem. (Whether XLA actually keeps the buffer fp8 across the
+    unrolled depth loop is compiler-dependent — verify with
+    scripts/fp8_shootout.py when changing JAX versions.)
+    """
+    import functools
+
+    import jax
+
+    @functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+    def _quant(x, dt):
+        q8 = jax.lax.optimization_barrier(x.astype(dt))
+        return q8.astype(x.dtype)
+
+    @_quant.defjvp
+    def _quant_jvp(dt, primals, tangents):
+        (xp,), (xt,) = primals, tangents
+        return _quant(xp, dt), xt
+
+    return _quant(x, dtype)
+
+
+__all__.append("quantize_ste")

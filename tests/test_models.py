@@ -420,3 +420,32 @@ def test_gkn_flatten_batch_parity():
                           jax.tree_util.tree_leaves(g_v)):
             np.testing.assert_allclose(np.asarray(kf), np.asarray(kv),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_gkn_kcached_fp8_storage():
+    """k_storage='float8_e4m3' (fp8 storage of the cached kernel
+    matrices, upcast to bf16 at use) must stay within fp8 quantization
+    error of the f32 kcached forward and produce finite grads."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    n, e = 30, 200
+    g = build_graph(rng.normal(size=(n, 6)), rng.integers(0, n, e),
+                    rng.integers(0, n, e),
+                    0.1 * rng.normal(size=(e, 6)))
+    cfg = GKNConfig(width=16, ker_width=32, depth=3, ker_in=6,
+                    in_width=6, impl="kcached")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    o_ref = gkn_apply(params, cfg, g)
+    for ks in ("float8_e4m3", "float8_e5m2"):
+        c8 = dataclasses.replace(cfg, k_storage=ks)
+        o8 = gkn_apply(params, c8, g)
+        rel = (np.abs(np.asarray(o8) - np.asarray(o_ref)).max()
+               / (np.abs(np.asarray(o_ref)).max() + 1e-12))
+        # e4m3 has ~6% relative quantization, e5m2 ~25%; depth-3
+        # composition stays within these loose bounds on smooth data
+        assert rel < (0.15 if ks == "float8_e4m3" else 0.4), (ks, rel)
+        grads = jax.grad(
+            lambda p: jnp.sum(gkn_apply(p, c8, g) ** 2))(params)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
