@@ -244,9 +244,12 @@ def quantize_ste(x, dtype):
     value so XLA cannot fold quantize+upcast into an identity; the
     upcast is a cheap duplicable convert that fuses into each depth
     iteration's consumer fusion, so the loop-resident K stream reads
-    1 byte/elem. (Whether XLA actually keeps the buffer fp8 across the
-    unrolled depth loop is compiler-dependent — verify with
-    scripts/fp8_shootout.py when changing JAX versions.)
+    1 byte/elem. Measured on the v5e (scripts/fp8_ste_check.py,
+    E=383k w=64): 6.90 vs 8.04 ms/iter bf16 in an UNROLLED depth
+    chain (gkn_apply's structure) — but 2x SLOWER across a fori_loop
+    boundary, where XLA rematerializes a bf16 copy every iteration.
+    Only use with unrolled consumers; re-verify when changing JAX
+    versions.
     """
     import functools
 
