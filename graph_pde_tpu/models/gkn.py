@@ -137,12 +137,13 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             attr = attr.astype(dtype)
         kk = dense_apply(kp, attr).astype(k_dtype)
         if fp8_dtype is not None:
-            # fp8 STORAGE of the cached K (halves the per-iteration
-            # stream again; measured 7.5 -> 5.6 ms/iter at E=383k,
-            # scripts/fp8_shootout.py) behind a straight-through
+            # fp8 STORAGE of the cached K behind a straight-through
             # estimator: forward quantizes, backward passes dK through
             # at full precision — an fp8 dK cotangent measurably
-            # wrecks convergence (uai3 A/B in RESULTS.md).
+            # wrecks convergence (uai3 A/B in RESULTS.md). Valid here
+            # because the depth loop below is UNROLLED (contract 8.04
+            # -> 6.90 ms/iter at E=383k, scripts/fp8_ste_check.py);
+            # across a fori_loop boundary it is 2x slower instead.
             from ..ops.cached_contraction import quantize_ste
 
             kk = quantize_ste(kk, fp8_dtype)
