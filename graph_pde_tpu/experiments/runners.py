@@ -432,7 +432,7 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
         width=cfg.width, ker_width=cfg.ker_width, depth=cfg.depth,
         ker_in=6, in_width=6, points=tuple(cfg.points),
         variant=cfg.mgkn_variant, impl=cfg.impl,
-        compute_dtype=cfg.compute_dtype)
+        compute_dtype=cfg.compute_dtype, k_storage=cfg.k_storage)
     params = mgkn_general_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNGeneralTask(mcfg, u_normalizer=arrays.u_normalizer,
                            loss_type=cfg.loss)
@@ -685,7 +685,8 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
     mcfg = MGKNOrthogonalConfig(width=cfg.width, ker_width=cfg.ker_width,
                                 depth=cfg.depth, ker_in=4, in_width=2,
                                 s=arrays.s, impl=cfg.impl,
-                                compute_dtype=cfg.compute_dtype)
+                                compute_dtype=cfg.compute_dtype,
+                                k_storage=cfg.k_storage)
     params = mgkn_orthogonal_init(jax.random.PRNGKey(cfg.seed), mcfg)
     task = MGKNOrthogonalTask(mcfg, u_normalizer=arrays.u_normalizer,
                               loss_type=cfg.loss)

@@ -68,6 +68,13 @@ class GKNConfig:
     # fp8-dtyped K makes the dK cotangent fp8 too and wrecks
     # convergence (uai3 A/B in RESULTS.md).
     k_storage: Optional[str] = None
+    # kcached + receiver-sorted big-graph regime only: run each depth
+    # iteration's contract+aggregate as ONE pallas kernel (the [E, w]
+    # message array never hits HBM — ops/fused_iterate.py). 'auto':
+    # use it exactly where the block-local one-hot reduction would
+    # apply (sorted_span verified, full one-hot gated out); 'off':
+    # keep the separate XLA stages.
+    kcached_fused: str = "auto"
 
     def resolved_kernel_layers(self) -> Tuple[int, ...]:
         if self.kernel_layers is not None:
@@ -124,8 +131,6 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
         big = e * cfg.width * cfg.width * 4 > 2 * 1024 ** 3
         k_dtype = (jnp.bfloat16 if (dtype is not None or big)
                    else jnp.float32)
-        fp8_dtype = {"float8_e4m3": jnp.float8_e4m3fn,
-                     "float8_e5m2": jnp.float8_e5m2}.get(cfg.k_storage)
         kp, attr = params["kernel"], graph.edge_attr
         if dtype is not None:
             # full-bf16 kappa MLP: at full-grid scale (UAI1: E~383k,
@@ -135,18 +140,65 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             # cast at use.
             kp = jax.tree_util.tree_map(lambda p: p.astype(dtype), kp)
             attr = attr.astype(dtype)
-        kk = dense_apply(kp, attr).astype(k_dtype)
-        if fp8_dtype is not None:
-            # fp8 STORAGE of the cached K behind a straight-through
-            # estimator: forward quantizes, backward passes dK through
-            # at full precision — an fp8 dK cotangent measurably
-            # wrecks convergence (uai3 A/B in RESULTS.md). Valid here
-            # because the depth loop below is UNROLLED (contract 8.04
-            # -> 6.90 ms/iter at E=383k, scripts/fp8_ste_check.py);
-            # across a fori_loop boundary it is 2x slower instead.
-            from ..ops.cached_contraction import quantize_ste
+        from ..ops.cached_contraction import maybe_quantize_k
+        from ..ops.fused_iterate import (fused_iterate_supported,
+                                         sorted_iterate_setup,
+                                         fused_iterate_total)
+        from ..ops.segment import _use_onehot
 
-            kk = quantize_ste(kk, fp8_dtype)
+        kk = dense_apply(kp, attr).astype(k_dtype)
+
+        # fused contract+aggregate pallas iteration (one kernel per
+        # depth step, no [E, w] HBM round-trips) — exactly where the
+        # block-local one-hot reduction would otherwise run.
+        use_fused = (not graph.node_block and not cfg.loop_vjp
+                     and graph.sorted_span > 0
+                     and cfg.aggr in ("mean", "add")
+                     and fused_iterate_supported(e, cfg.width, cfg.width,
+                                                 graph.sorted_span)
+                     and (cfg.kcached_fused == "on"
+                          or (cfg.kcached_fused == "auto"
+                              and not _use_onehot(e, x.shape[0]))))
+        if use_fused:
+            from ..ops.segment import gather_rows
+
+            span = graph.sorted_span
+            k8 = None
+            if cfg.k_storage is not None:
+                # fp8 STORAGE with the kernels streaming 1 byte/elem:
+                # both fused kernels read k8 and upcast in VMEM; the dK
+                # cotangent lands on the full-precision kk (STE — an
+                # fp8 dK cotangent wrecks convergence, RESULTS.md).
+                fp8 = {"float8_e4m3": jnp.float8_e4m3fn,
+                       "float8_e5m2": jnp.float8_e5m2}[cfg.k_storage]
+                k8 = kk.astype(fp8)
+            oh, ids, counts = sorted_iterate_setup(
+                graph.receivers, edge_mask, x.shape[0], span)
+            recip = (1.0 / counts) if cfg.aggr == "mean" else None
+            for t in range(cfg.depth):
+                xj = gather_rows(x, graph.senders)
+                out = fused_iterate_total(
+                    xj, kk, oh, ids, x.shape[0], span,
+                    in_channels=cfg.width, out_channels=cfg.width, k8=k8)
+                if recip is not None:
+                    out = out * recip
+                if "root" in params:
+                    out = out + x @ params["root"]
+                if "bias" in params:
+                    out = out + params["bias"]
+                x = out
+                if t != cfg.depth - 1 or cfg.relu_last:
+                    x = jax.nn.relu(x)
+            return _gkn_decode(params, cfg, x)
+
+        # fp8 STORAGE of the cached K behind a straight-through
+        # estimator: forward quantizes, backward passes dK through
+        # at full precision — an fp8 dK cotangent measurably
+        # wrecks convergence (uai3 A/B in RESULTS.md). Valid here
+        # because the depth loop below is UNROLLED (contract 8.04
+        # -> 6.90 ms/iter at E=383k, scripts/fp8_ste_check.py);
+        # across a fori_loop boundary it is 2x slower instead.
+        kk = maybe_quantize_k(kk, cfg.k_storage)
         if cfg.loop_vjp and not graph.node_block:
             # one custom VJP over the whole depth loop: dK materialized
             # once instead of per-iteration (ops/kcached_loop.py)

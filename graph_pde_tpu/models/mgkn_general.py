@@ -41,6 +41,10 @@ class MGKNGeneralConfig:
     variant: str = "mkgn"  # 'mkgn' (flagship) | 'induced' (neurips1)
     impl: str = "auto"
     compute_dtype: Optional[str] = None
+    # kcached only: fp8 STE storage of the cached kernel matrices (the
+    # depth V-cycles re-read every conv's K; the loop is unrolled, so
+    # the fp8 buffer stays resident — models/gkn.py, quantize_ste).
+    k_storage: Optional[str] = None
 
     @property
     def level(self) -> int:
@@ -121,6 +125,7 @@ def _conv(x, senders, receivers, attr, mask, conv_params, cfg, ranges, l,
 def _precompute_kernels(params, cfg, g: MultiLevelGraph):
     """impl='kcached': evaluate every conv's kappa MLP once."""
     from ..ops.dense import dense_apply
+    from ..ops.cached_contraction import maybe_quantize_k
 
     k_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                else jnp.float32)
@@ -135,7 +140,8 @@ def _precompute_kernels(params, cfg, g: MultiLevelGraph):
             kp = jax.tree_util.tree_map(
                 lambda p: p.astype(jnp.bfloat16), kp)
             a = a.astype(jnp.bfloat16)
-        return dense_apply(kp, a).astype(k_dtype)
+        return maybe_quantize_k(dense_apply(kp, a).astype(k_dtype),
+                                cfg.k_storage)
 
     level = cfg.level
     return {

@@ -58,6 +58,12 @@ class MGKNOrthogonalConfig:
     s: int = 1024
     impl: str = "auto"
     compute_dtype: Optional[str] = None
+    # kcached only: fp8 STE storage of the cached per-level kernel
+    # matrices ('float8_e4m3'/'float8_e5m2'). The V-cycle depth loop is
+    # unrolled Python, so each level's K is re-read depth times — the
+    # fp8 buffer stays loop-resident exactly as in GKN (models/gkn.py,
+    # ops/cached_contraction.quantize_ste).
+    k_storage: Optional[str] = None
 
     @property
     def level(self) -> int:
@@ -119,6 +125,7 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
         # kappa is fixed across the depth V-cycles; evaluate each level's
         # kernel MLP once (see models/gkn.py kcached notes)
         from ..ops.dense import dense_apply
+        from ..ops.cached_contraction import maybe_quantize_k
 
         k_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                    else jnp.float32)
@@ -131,7 +138,8 @@ def mgkn_orthogonal_apply(params, cfg: MGKNOrthogonalConfig,
                 kp = jax.tree_util.tree_map(
                     lambda p: p.astype(jnp.bfloat16), kp)
                 a = a.astype(jnp.bfloat16)
-            kks.append(dense_apply(kp, a).astype(k_dtype))
+            kks.append(maybe_quantize_k(
+                dense_apply(kp, a).astype(k_dtype), cfg.k_storage))
 
     def kk_of(idx):
         return kks[idx] if kks is not None else None

@@ -269,3 +269,22 @@ def quantize_ste(x, dtype):
 
 
 __all__.append("quantize_ste")
+
+
+def maybe_quantize_k(kk, k_storage):
+    """Apply the fp8-STE storage policy named by `k_storage` to a cached
+    kernel-matrix array (None / 'float8_e4m3' / 'float8_e5m2').
+
+    One resolver shared by every kcached model (GKN + both MGKNs) so
+    the storage-name -> dtype mapping and the unrolled-consumer caveat
+    (see quantize_ste) live in one place."""
+    if k_storage is None:
+        return kk
+    fp8 = {"float8_e4m3": jnp.float8_e4m3fn,
+           "float8_e5m2": jnp.float8_e5m2}.get(k_storage)
+    if fp8 is None:
+        raise ValueError(f"unknown k_storage {k_storage!r}")
+    return quantize_ste(kk, fp8)
+
+
+__all__.append("maybe_quantize_k")

@@ -35,11 +35,25 @@ def main():
     print(f"s={arrays.s} N={graphs.x.shape[1]} E={graphs.senders.shape[1]}",
           flush=True)
 
+    import sys
+
+    if "--loop-vjp" in sys.argv:
+        variants = [("loop_vjp=False", dict(loop_vjp=False)),
+                    ("loop_vjp=True", dict(loop_vjp=True))]
+    else:
+        variants = [
+            ("staged bf16", dict(kcached_fused="off")),
+            ("staged fp8ste", dict(kcached_fused="off",
+                                   k_storage="float8_e4m3")),
+            ("fused bf16", dict()),
+            ("fused fp8", dict(k_storage="float8_e4m3")),
+        ]
+
     results = {}
-    for loop_vjp in (False, True):
+    for label, kw in variants:
         cfg = GKNConfig(width=64, ker_width=1024, depth=6, ker_in=6,
                         in_width=6, relu_last=True, impl="kcached",
-                        compute_dtype="bfloat16", loop_vjp=loop_vjp)
+                        compute_dtype="bfloat16", **kw)
         params = gkn_init(jax.random.PRNGKey(0), cfg)
         task = GKNTask(cfg, u_normalizer=arrays.u_normalizer,
                        loss_type="l1")
@@ -54,7 +68,7 @@ def main():
         t0 = time.perf_counter()
         p, o, loss, l2 = epoch_fn(p, o, batches)
         float(loss)
-        print(f"loop_vjp={loop_vjp}: first epoch (compile) "
+        print(f"{label}: first epoch (compile) "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
         times = []
         for _ in range(3):
@@ -63,11 +77,14 @@ def main():
             float(loss)
             times.append(time.perf_counter() - t0)
         step_ms = min(times) / n * 1000
-        results[loop_vjp] = step_ms
-        print(f"loop_vjp={loop_vjp}: step {step_ms:.1f} ms "
+        results[label] = step_ms
+        print(f"{label}: step {step_ms:.1f} ms "
               f"(epochs {[f'{t:.3f}' for t in times]})", flush=True)
 
-    print(f"speedup: {results[False] / results[True]:.3f}x")
+    items = list(results.items())
+    base_label, base_t = items[0]
+    for lbl, t in items[1:]:
+        print(f"speedup {lbl} over {base_label}: {base_t / t:.3f}x")
 
 
 if __name__ == "__main__":

@@ -449,3 +449,43 @@ def test_gkn_kcached_fp8_storage():
             lambda p: jnp.sum(gkn_apply(p, c8, g) ** 2))(params)
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_mgkn_kcached_fp8_storage():
+    """k_storage fp8-STE on both MGKN families: forward within fp8
+    quantization error of the plain kcached forward, finite grads
+    (mirrors test_gkn_kcached_fp8_storage; the depth V-cycles are
+    unrolled Python loops, the STE's validity condition)."""
+    import dataclasses
+
+    g = _tiny_multilevel()
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30, 15, 8),
+                            impl="kcached")
+    params = mgkn_general_init(jax.random.PRNGKey(41), cfg)
+    o_ref = mgkn_general_apply(params, cfg, g)
+    c8 = dataclasses.replace(cfg, k_storage="float8_e4m3")
+    o8 = mgkn_general_apply(params, c8, g)
+    rel = (np.abs(np.asarray(o8) - np.asarray(o_ref)).max()
+           / (np.abs(np.asarray(o_ref)).max() + 1e-12))
+    assert rel < 0.15, rel
+    grads = jax.grad(
+        lambda p: jnp.sum(mgkn_general_apply(p, c8, g) ** 2))(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    s = 16
+    go = _tiny_multipole1d(s)
+    cfg_o = MGKNOrthogonalConfig(width=8, ker_width=32, depth=2, ker_in=4,
+                                 in_width=2, s=s, impl="kcached")
+    params_o = mgkn_orthogonal_init(jax.random.PRNGKey(42), cfg_o)
+    o1 = mgkn_orthogonal_apply(params_o, cfg_o, go)
+    c8_o = dataclasses.replace(cfg_o, k_storage="float8_e4m3")
+    o2 = mgkn_orthogonal_apply(params_o, c8_o, go)
+    rel = (np.abs(np.asarray(o2) - np.asarray(o1)).max()
+           / (np.abs(np.asarray(o1)).max() + 1e-12))
+    assert rel < 0.15, rel
+    grads_o = jax.grad(
+        lambda p: jnp.sum(mgkn_orthogonal_apply(p, c8_o, go) ** 2))(params_o)
+    for leaf in jax.tree_util.tree_leaves(grads_o):
+        assert np.isfinite(np.asarray(leaf)).all()
