@@ -70,11 +70,13 @@ class GKNConfig:
     k_storage: Optional[str] = None
     # kcached + receiver-sorted big-graph regime only: run each depth
     # iteration's contract+aggregate as ONE pallas kernel (the [E, w]
-    # message array never hits HBM — ops/fused_iterate.py). 'auto':
-    # use it exactly where the block-local one-hot reduction would
-    # apply (sorted_span verified, full one-hot gated out); 'off':
-    # keep the separate XLA stages.
-    kcached_fused: str = "auto"
+    # message array never hits HBM — ops/fused_iterate.py). MEASURED
+    # EXACT PARITY with the staged XLA path at UAI1 full-grid scale
+    # (181.8 vs 181.7 ms/step, scripts/time_uai1_step.py): XLA already
+    # fuses the staged intermediates, i.e. the kcached iteration is at
+    # its K-stream floor. Default 'off'; 'auto' enables it where the
+    # block-local one-hot reduction would apply; 'on' forces (tests).
+    kcached_fused: str = "off"
 
     def resolved_kernel_layers(self) -> Tuple[int, ...]:
         if self.kernel_layers is not None:
