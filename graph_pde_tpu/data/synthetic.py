@@ -172,8 +172,13 @@ def solve_burgers_1d(u0: np.ndarray, nu: float = 0.01, t_final: float = 1.0,
 def burgers_dataset(n: int, s: int, nu: float = 0.01, seed: int = 0,
                     gen_res: int = 4096) -> Dict[str, np.ndarray]:
     """n Burgers pairs (a = initial condition, u = solution at t=1),
-    generated at gen_res and subsampled to s. Fields [n, s]."""
+    generated at gen_res and subsampled to s. Fields [n, s].
+
+    gen_res rises to s when s exceeds it (the reference's burgers_data_R10
+    is generated at 8192 — mgkn_orthogonal_burgers1d requests that
+    resolution; the spectral solver is resolution-robust)."""
     rng = np.random.default_rng(seed)
+    gen_res = max(gen_res, s)
     assert gen_res % s == 0
     r = gen_res // s
     a_out = np.zeros((n, s), np.float32)
