@@ -3,10 +3,17 @@
 Usage:
     python -m graph_pde_tpu.cli list
     python -m graph_pde_tpu.cli run <experiment> [--smoke] [--epochs N]
-        [--set key=value ...] [--out results.json]
+        [--set key=value ...] [--out results.json] [--bundle DIR]
+    python -m graph_pde_tpu.cli predict <bundle_dir>
+        (--input fields.mat | --synthetic N --res S)
+        [--output pred.mat] [--truth-field sol]
 
 Replaces the reference's "each script shall be stand-alone and directly
-runnable" model (README.md:18) with one entry point over the registry.
+runnable" model (README.md:18) with one entry point over the registry,
+plus a serving path the reference does not have: `run --bundle` exports
+a portable artifact (params + model config + normalizer stats,
+train/export.py) and `predict` serves it on new coefficient fields at
+any grid resolution (inference.GKNPredictor).
 """
 from __future__ import annotations
 
@@ -37,6 +44,90 @@ def _setup_jax_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _predict(args):
+    """Serve a GKN bundle: coefficient fields in, decoded solutions out.
+    The discretization-invariance property means the bundle's weights
+    accept ANY grid resolution (inference.GKNPredictor builds/splits
+    graphs per resolution)."""
+    import numpy as np
+
+    from .inference import GKNPredictor
+    from .train import load_bundle
+
+    params, mcfg, norms, extra = load_bundle(args.bundle)
+    if extra.get("family", "gkn") != "gkn" or \
+            extra.get("dataset", "darcy") != "darcy":
+        print("error: predict serves Darcy GKN bundles (got "
+              f"family={extra.get('family')!r} "
+              f"dataset={extra.get('dataset')!r})", file=sys.stderr)
+        return 2
+
+    kcoeff = kx = ky = None
+    truth = None
+    if args.input:
+        from .utils.matio import MatReader
+
+        reader = MatReader(args.input)
+        coeff = reader.read_field("coeff")
+        for name, slot in (("Kcoeff", "kcoeff"), ("Kcoeff_x", "kx"),
+                           ("Kcoeff_y", "ky")):
+            try:
+                val = reader.read_field(name)
+            except KeyError:
+                continue
+            if slot == "kcoeff":
+                kcoeff = val
+            elif slot == "kx":
+                kx = val
+            else:
+                ky = val
+        if args.truth_field:
+            truth = reader.read_field(args.truth_field)
+    elif args.synthetic:
+        from .data import load_or_generate_darcy
+
+        fields = load_or_generate_darcy(args.synthetic, args.res)
+        coeff, kcoeff = fields["coeff"], fields["Kcoeff"]
+        kx, ky = fields["Kcoeff_x"], fields["Kcoeff_y"]
+        truth = fields["sol"]
+    else:
+        print("error: need --input or --synthetic", file=sys.stderr)
+        return 2
+
+    if args.n:
+        def cut(a):
+            return None if a is None else a[: args.n]
+
+        coeff, kcoeff, kx, ky = map(cut, (coeff, kcoeff, kx, ky))
+        truth = cut(truth)
+
+    predictor = GKNPredictor(
+        params, mcfg,
+        input_normalizers={k: norms[k] for k in
+                           ("a", "a_smooth", "a_gradx", "a_grady")},
+        u_normalizer=norms["u"],
+        radius=float(extra.get("radius", 0.2)))
+    t0 = time.perf_counter()
+    pred = predictor.predict(coeff, kcoeff, kx, ky)
+    dt = time.perf_counter() - t0
+    n, s = coeff.shape[0], coeff.shape[1]
+    summary = {"n": n, "s": s, "wall_time_s": round(dt, 3),
+               "per_sample_ms": round(1000 * dt / n, 2)}
+    if truth is not None:
+        from .utils.losses import LpLoss
+
+        rel = LpLoss(size_average=True).rel(
+            pred.reshape(n, -1), np.asarray(truth).reshape(n, -1))
+        summary["rel_l2"] = round(float(rel), 6)
+    if args.output:
+        from .utils.matio import write_mat
+
+        write_mat(args.output, {"pred": pred.reshape(n, s, s)})
+        summary["output"] = args.output
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None):
     _setup_jax_cache()
     from .experiments import get, names, run_experiment
@@ -62,12 +153,36 @@ def main(argv=None):
     runp.add_argument("--tol", type=float, default=1e-3,
                       help="tolerance for --expect-l2 (BASELINE.md "
                            "north star: rel-L2 parity +-1e-3)")
+    runp.add_argument("--bundle", default=None, metavar="DIR",
+                      help="export a serving bundle of the trained "
+                           "model (train/export.py)")
+    predp = sub.add_parser("predict", help="serve a trained bundle on "
+                                           "new coefficient fields")
+    predp.add_argument("bundle", help="bundle dir from run --bundle")
+    predp.add_argument("--input", default=None,
+                       help=".mat with 'coeff' [n, s, s] (+ optional "
+                            "Kcoeff/Kcoeff_x/Kcoeff_y; derived if absent)")
+    predp.add_argument("--synthetic", type=int, default=0, metavar="N",
+                       help="generate N synthetic Darcy fields instead "
+                            "of --input")
+    predp.add_argument("--res", type=int, default=61,
+                       help="grid resolution for --synthetic")
+    predp.add_argument("--n", type=int, default=None,
+                       help="predict only the first N samples")
+    predp.add_argument("--output", default=None,
+                       help="write predictions ('pred' [n, s, s]) "
+                            "as .mat")
+    predp.add_argument("--truth-field", default=None, metavar="NAME",
+                       help="field with ground truth in --input "
+                            "(e.g. 'sol'): prints mean rel-L2")
     args = p.parse_args(argv)
 
     if args.cmd == "list":
         for n in names():
             print(n)
         return 0
+    if args.cmd == "predict":
+        return _predict(args)
 
     cfg = get(args.experiment)
     overrides = dict(_parse_override(kv) for kv in args.set)
@@ -82,6 +197,19 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     result = run_experiment(cfg, smoke=args.smoke, progress=progress)
+    bundle_payload = result.pop("_bundle", None)
+    if args.bundle:
+        if bundle_payload is None:
+            print(f"error: {cfg.family!r} runner exports no bundle",
+                  file=sys.stderr)
+            return 2
+        from .train import save_bundle
+
+        save_bundle(args.bundle, result["params"],
+                    bundle_payload["model_cfg"],
+                    normalizers=bundle_payload["normalizers"],
+                    extra=bundle_payload["extra"])
+        print(f"bundle -> {args.bundle}")
     result.pop("params", None)
     result["wall_time_s"] = time.perf_counter() - t0
     print(json.dumps({k: v for k, v in result.items()

@@ -171,6 +171,20 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
                                     batch_size=cfg.batch_size)
         result["eval_by_m"] = by_m
     result["params"] = res.params
+    # serving-bundle payload (cli run --bundle): everything
+    # inference.GKNPredictor / train.export needs besides the params
+    if cfg.dataset == "darcy":
+        bundle_norms = dict(norms)
+        bundle_norms["u"] = arrays.u_normalizer
+    else:
+        bundle_norms = {"a": arrays.a_normalizer,
+                        "u": arrays.u_normalizer}
+    result["_bundle"] = {
+        "model_cfg": mcfg,
+        "normalizers": bundle_norms,
+        "extra": {"family": "gkn", "dataset": cfg.dataset,
+                  "radius": radius_test, "experiment": cfg.name},
+    }
     return result
 
 
@@ -447,7 +461,12 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
     result = {"config": cfg.name, "train_l2": res.train_l2,
               "test_l2": res.test_l2, "epoch_times": res.epoch_times,
               "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
-              "params": res.params}
+              "params": res.params,
+              "_bundle": {"model_cfg": mcfg,
+                          "normalizers": {**norms,
+                                          "u": arrays.u_normalizer},
+                          "extra": {"family": "mgkn_general",
+                                    "experiment": cfg.name}}}
     if cfg.eval_protocol == "split_random":
         result["full_field_l2"] = _eval_mgkn_split(
             cfg, mcfg, res.params, arrays, norms, caps)
@@ -701,7 +720,12 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
     return {"config": cfg.name, "train_l2": res.train_l2,
             "test_l2": res.test_l2, "epoch_times": res.epoch_times,
             "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
-            "params": res.params}
+            "params": res.params,
+            "_bundle": {"model_cfg": mcfg,
+                        "normalizers": {"a": arrays.a_normalizer,
+                                        "u": arrays.u_normalizer},
+                        "extra": {"family": "mgkn_orthogonal",
+                                  "experiment": cfg.name}}}
 
 
 __all__ = ["run_experiment"]

@@ -1,0 +1,58 @@
+"""End-to-end serving workflow: train (smoke) -> export bundle ->
+predict on new fields via the CLI — the deployment path the reference
+lacks entirely (its only persistence is a final torch.save,
+UAI1_full_resolution.py:317, with no load/serve tooling)."""
+import json
+import os
+
+import numpy as np
+
+from graph_pde_tpu.cli import main
+
+
+def test_run_bundle_predict_roundtrip(tmp_path, capsys):
+    bundle = str(tmp_path / "bundle")
+    # gaussian u-normalizer (scalar stats) so the bundle serves ANY
+    # resolution; uai2 smoke trains at s=33 in ~tens of seconds on CPU
+    rc = main(["run", "uai2_full_equation", "--smoke", "--bundle", bundle])
+    assert rc == 0
+    assert os.path.exists(os.path.join(bundle, "bundle.json"))
+    capsys.readouterr()
+
+    # 1) synthetic fields at a DIFFERENT resolution (discretization
+    # invariance: same weights, 17-grid graphs)
+    out_mat = str(tmp_path / "pred.mat")
+    rc = main(["predict", bundle, "--synthetic", "2", "--res", "17",
+               "--output", out_mat])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 2 and summary["s"] == 17
+    assert np.isfinite(summary["rel_l2"])  # synthetic path carries truth
+
+    from graph_pde_tpu.utils.matio import MatReader
+
+    pred = MatReader(out_mat).read_field("pred")
+    assert pred.shape == (2, 17, 17)
+    assert np.isfinite(pred).all()
+
+    # 2) .mat input path (coeff only -> aux fields derived) + truth
+    from graph_pde_tpu.data import load_or_generate_darcy
+    from graph_pde_tpu.utils.matio import write_mat
+
+    fields = load_or_generate_darcy(2, 17)
+    in_mat = str(tmp_path / "fields.mat")
+    write_mat(in_mat, {"coeff": fields["coeff"], "sol": fields["sol"]})
+    rc = main(["predict", bundle, "--input", in_mat,
+               "--truth-field", "sol"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["s"] == 17 and np.isfinite(summary["rel_l2"])
+
+
+def test_predict_rejects_non_gkn_bundle(tmp_path, capsys):
+    bundle = str(tmp_path / "b2")
+    rc = main(["run", "neurips2_mgkn", "--smoke", "--bundle", bundle])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["predict", bundle, "--synthetic", "1", "--res", "17"])
+    assert rc == 2
