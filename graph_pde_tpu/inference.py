@@ -73,6 +73,20 @@ class GKNPredictor:
         matching data/synthetic.py). Returns decoded solutions [n, s*s]."""
         coeff = np.asarray(coeff)
         n, s = coeff.shape[0], coeff.shape[1]
+        # UnitGaussianNormalizer carries PER-NODE stats on the TRAINING
+        # grid; decoding another resolution with positional sample_idx
+        # would silently read the wrong rows (node i of an s-grid is
+        # not node i of the training grid). Gaussian (scalar) u-norms
+        # serve any resolution.
+        u_stats = np.asarray(getattr(self.u_normalizer, "mean", 0.0))
+        if u_stats.ndim >= 1 and u_stats.size > 1 \
+                and u_stats.size != s * s:
+            raise ValueError(
+                f"bundle's unit u-normalizer has per-node stats for "
+                f"{u_stats.size} training-grid nodes but input is "
+                f"s={s} ({s * s} nodes); serve at the training "
+                f"resolution, or train/export with u_norm='gaussian' "
+                f"for resolution-free serving")
         if kcoeff is None:
             from scipy.ndimage import gaussian_filter as gf
 

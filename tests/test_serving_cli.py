@@ -56,3 +56,29 @@ def test_predict_rejects_non_gkn_bundle(tmp_path, capsys):
     capsys.readouterr()
     rc = main(["predict", bundle, "--synthetic", "1", "--res", "17"])
     assert rc == 2
+
+
+def test_predictor_guards_unit_norm_resolution_mismatch():
+    """A unit (per-node) u-normalizer trained on one grid must refuse to
+    decode another resolution (positional stats would silently
+    mis-index) — gaussian u-norm bundles serve any resolution."""
+    import jax
+    import pytest
+
+    from graph_pde_tpu.data import (load_or_generate_darcy, prepare_darcy)
+    from graph_pde_tpu.inference import GKNPredictor
+    from graph_pde_tpu.models import GKNConfig, gkn_init
+
+    fields = load_or_generate_darcy(2, 17)
+    arrays, norms = prepare_darcy(fields, n=2, u_norm="unit")
+    cfg = GKNConfig(width=8, ker_width=16, depth=1, ker_in=6, in_width=6)
+    pred = GKNPredictor(gkn_init(jax.random.PRNGKey(0), cfg), cfg,
+                        input_normalizers=norms,
+                        u_normalizer=arrays.u_normalizer, radius=0.3)
+    out = pred.predict(fields["coeff"], fields["Kcoeff"],
+                       fields["Kcoeff_x"], fields["Kcoeff_y"])
+    assert out.shape == (2, 17 * 17)
+
+    coarse = fields["coeff"][:, ::2, ::2]
+    with pytest.raises(ValueError, match="training"):
+        pred.predict(coarse)
