@@ -156,6 +156,15 @@ def main(argv=None):
     runp.add_argument("--bundle", default=None, metavar="DIR",
                       help="export a serving bundle of the trained "
                            "model (train/export.py)")
+    swp = sub.add_parser("sweep", help="run a parameter sweep (the "
+                                       "reference scripts' for-loops)")
+    swp.add_argument("experiment", help="experiment name")
+    swp.add_argument("--smoke", action="store_true")
+    swp.add_argument("--axis", action="append", default=[],
+                     metavar="key=[v1,v2,...]",
+                     help="sweep axis as JSON list (default: the "
+                          "reference's own sweep for this experiment)")
+    swp.add_argument("--out", default=None, help="write results JSON")
     predp = sub.add_parser("predict", help="serve a trained bundle on "
                                            "new coefficient fields")
     predp.add_argument("bundle", help="bundle dir from run --bundle")
@@ -183,6 +192,26 @@ def main(argv=None):
         return 0
     if args.cmd == "predict":
         return _predict(args)
+    if args.cmd == "sweep":
+        from .experiments.sweeps import REFERENCE_SWEEPS, run_sweep
+
+        axes = dict(_parse_override(kv) for kv in args.axis) or None
+        if axes is None and args.experiment not in REFERENCE_SWEEPS:
+            print(f"error: no reference sweep for {args.experiment!r}; "
+                  "pass --axis key=[v1,v2,...]", file=sys.stderr)
+            return 2
+        axes = {k: tuple(v) if isinstance(v, (list, tuple)) else (v,)
+                for k, v in axes.items()} if axes else None
+        results = run_sweep(args.experiment, axes, smoke=args.smoke)
+        for r in results:
+            print(json.dumps({"swept": r["swept"],
+                              "final_test_l2": r.get("final_test_l2"),
+                              "full_field_l2": r.get("full_field_l2")},
+                             default=str))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, default=str)
+        return 0
 
     cfg = get(args.experiment)
     overrides = dict(_parse_override(kv) for kv in args.set)

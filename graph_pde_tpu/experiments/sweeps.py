@@ -52,9 +52,16 @@ def run_sweep(name: str, axes: Dict[str, Sequence] = None,
     base = get(name)
     axes = axes or REFERENCE_SWEEPS.get(name) or {}
     for cfg in sweep_configs(name, axes):
-        res = run_experiment(cfg, smoke=smoke)
+        swept = {k: getattr(cfg, k) for k in axes}
+        if smoke:
+            # shrink first, then re-apply the swept axis — smoke()'s
+            # blanket shrink would otherwise clobber it and every
+            # point would silently run the same config
+            cfg = dataclasses.replace(cfg.smoke(), **swept)
+        res = run_experiment(cfg, smoke=False)
         res.pop("params", None)
-        res["swept"] = {k: getattr(cfg, k) for k in axes}
+        res.pop("_bundle", None)
+        res["swept"] = swept
         results.append(res)
     return results
 

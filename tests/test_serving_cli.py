@@ -82,3 +82,19 @@ def test_predictor_guards_unit_norm_resolution_mismatch():
     coarse = fields["coeff"][:, ::2, ::2]
     with pytest.raises(ValueError, match="training"):
         pred.predict(coarse)
+
+
+def test_sweep_cli_smoke_respects_axis(tmp_path, capsys):
+    """`cli sweep --smoke` must re-apply the swept axis after the smoke
+    shrink (which would otherwise clobber it and run identical points)."""
+    import json as _json
+
+    out = str(tmp_path / "sweep.json")
+    rc = main(["sweep", "uai8_kernel", "--smoke",
+               "--axis", "ker_width=[32,64]", "--out", out])
+    assert rc == 0
+    with open(out) as f:
+        res = _json.load(f)
+    assert [r["swept"]["ker_width"] for r in res] == [32, 64]
+    # different kernel widths -> different trained models
+    assert res[0]["final_test_l2"] != res[1]["final_test_l2"]
