@@ -2,8 +2,10 @@
 
 Usage:
     python -m graph_pde_tpu.cli list
-    python -m graph_pde_tpu.cli run <experiment> [--smoke] [--epochs N]
+    python -m graph_pde_tpu.cli run <experiment> [--smoke]
         [--set key=value ...] [--out results.json] [--bundle DIR]
+    python -m graph_pde_tpu.cli sweep <experiment> [--smoke]
+        [--axis key=[v1,v2,...]] [--out results.json]
     python -m graph_pde_tpu.cli predict <bundle_dir>
         (--input fields.mat | --synthetic N --res S)
         [--output pred.mat] [--truth-field sol]
