@@ -258,33 +258,37 @@ register(ExperimentConfig(
     downsample=5, ntrain=1024, ntest=100, points=(400, 100, 25),
     radius_inner=(0.25, 0.5, 1.0), radius_inter=(0.125, 0.25), width=64,
     ker_width=256, depth=5, loss="rel2", epochs=200, batch_size=1,
-    learning_rate=1e-4, weight_decay=0.0, scheduler_step=20,
+    learning_rate=1e-4, scheduler_step=20,
     scheduler_gamma=0.8, eval_protocol="split_random"))
 
-# neurips1_MGKN.py: multilevel m=[2400,1600,400,100,25], radii halving.
+# neurips1_MGKN.py: multilevel m=[2400,1600,400,100,25], radii halving;
+# lr = 0.1/ntrain (neurips1_MGKN.py:148), StepLR(10, 0.8).
 register(ExperimentConfig(
     name="neurips1_mgkn", family="mgkn_general", downsample=1, ntrain=100,
     ntest=100, points=(2400, 1600, 400, 100, 25),
     radius_inner=(0.01, 0.02, 0.04, 0.08, 0.16),
     radius_inter=(0.0075, 0.015, 0.03, 0.06), width=64, ker_width=256,
     depth=4, mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
-    weight_decay=0.0))
+    learning_rate=1e-3, scheduler_step=10, scheduler_gamma=0.8))
 
-# neurips2_MGKN.py: level-count ablation (single level).
+# neurips2_MGKN.py: level-count ablation (single level); lr = 0.1/ntrain,
+# StepLR(10, 0.8) (neurips2_MGKN.py:152-154).
 register(ExperimentConfig(
     name="neurips2_mgkn", family="mgkn_general", downsample=4, ntrain=100,
     ntest=100, points=(200, 100), radius_inner=(0.05, 0.1),
     radius_inter=(0.04,), width=64, ker_width=256, depth=4,
     mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
-    weight_decay=0.0))
+    learning_rate=1e-3, scheduler_step=10, scheduler_gamma=0.8))
 
-# neurips3_MGKN.py: resolution generalization, m=[400,100,25].
+# neurips3_MGKN.py: resolution generalization, m=[400,100,25];
+# lr = 0.1/ntrain, StepLR(10, 0.8) (neurips3_MGKN.py:127-129).
 register(ExperimentConfig(
     name="neurips3_mgkn", family="mgkn_general", downsample=8, ntrain=100,
     ntest=100, points=(400, 100, 25), radius_inner=(0.25, 0.5, 1.0),
     radius_inter=(0.125, 0.25), width=64, ker_width=256, depth=4,
     mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
-    weight_decay=0.0, u_norm="gaussian", eval_protocol="multires",
+    learning_rate=1e-3, scheduler_step=10, scheduler_gamma=0.8,
+    u_norm="gaussian", eval_protocol="multires",
     eval_resolutions=(61, 121, 241)))
 
 # MGKN_orthogonal_burgers1d.py: flagship orthogonal MGKN, s=1024.
@@ -292,7 +296,7 @@ register(ExperimentConfig(
     name="mgkn_orthogonal_burgers1d", family="mgkn_orthogonal",
     dataset="burgers", source_res=8192, downsample=8, ntrain=1024,
     ntest=100, width=64, ker_width=1024, depth=4, loss="rel2", epochs=200,
-    batch_size=1, learning_rate=1e-5, weight_decay=0.0, scheduler_step=10,
+    batch_size=1, learning_rate=1e-5, scheduler_step=10,
     scheduler_gamma=0.8))
 
 # ----------------------------------------------------------------- GCN

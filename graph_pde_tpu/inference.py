@@ -87,14 +87,22 @@ class GKNPredictor:
                 f"s={s} ({s * s} nodes); serve at the training "
                 f"resolution, or train/export with u_norm='gaussian' "
                 f"for resolution-free serving")
+        # Derive each missing auxiliary field independently (a caller may
+        # supply Kcoeff but not its gradients — e.g. a .mat with only
+        # 'coeff'+'Kcoeff'); matches data/synthetic.py's derivations.
         if kcoeff is None:
             from scipy.ndimage import gaussian_filter as gf
 
-            kcoeff = np.stack([gf(c, sigma=1.0) for c in coeff])
+            kcoeff = np.stack([gf(np.asarray(c).reshape(s, s), sigma=1.0)
+                               for c in coeff])
+        if kx is None or ky is None:
             h = 1.0 / (s - 1)
-            grads = [np.gradient(k, h) for k in kcoeff]
-            kx = np.stack([g[0] for g in grads])
-            ky = np.stack([g[1] for g in grads])
+            grads = [np.gradient(np.asarray(k).reshape(s, s), h)
+                     for k in kcoeff]
+            if kx is None:
+                kx = np.stack([g[0] for g in grads])
+            if ky is None:
+                ky = np.stack([g[1] for g in grads])
         fields = self._encode_fields(coeff, kcoeff, kx, ky)
 
         if s * s > self.split_threshold:

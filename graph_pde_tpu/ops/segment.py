@@ -105,6 +105,20 @@ def sorted_block_segment_reduce(data, receivers, mask, num_segments: int,
 def _use_sorted_block(method, sorted_span, indices_are_sorted, e,
                       num_segments):
     if method == "blockoh":
+        # forcing blockoh without a host-verified span bound would
+        # SILENTLY DROP edges whose block-local index exceeds the
+        # default span (one-hot rows matching no column) — require the
+        # builder-verified Graph.sorted_span instead of guessing
+        if sorted_span <= 0:
+            raise ValueError(
+                "method='blockoh' requires a host-verified receiver-span "
+                "bound (build the graph via build_graph so Graph."
+                "sorted_span is set, and pass sorted_span=graph."
+                "sorted_span); refusing to guess a span")
+        if e % _SORTED_BLOCK_EB != 0:
+            raise ValueError(
+                f"method='blockoh' needs E % {_SORTED_BLOCK_EB} == 0 "
+                f"(got E={e}); pad edges to a {_SORTED_BLOCK_EB}-multiple")
         return True
     return (method == "auto" and sorted_span > 0 and indices_are_sorted
             and not _use_onehot(e, num_segments)
@@ -120,7 +134,7 @@ def masked_segment_sum(data, segment_ids, mask, num_segments: int,
             num_segments):
         return sorted_block_segment_reduce(
             data, segment_ids, mask, num_segments,
-            span=sorted_span or 64, mean=False)
+            span=sorted_span, mean=False)
     m = mask.astype(data.dtype)
     if data.ndim > m.ndim:
         m = m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
@@ -139,7 +153,7 @@ def masked_segment_mean(data, segment_ids, mask, num_segments: int,
             method, sorted_span, indices_are_sorted, e, num_segments):
         return sorted_block_segment_reduce(
             data, segment_ids, mask, num_segments,
-            span=sorted_span or 64, mean=True)
+            span=sorted_span, mean=True)
     if method == "onehot" or (method == "auto"
                               and _use_onehot(e, num_segments)):
         # one matmul produces sums and counts together:

@@ -364,7 +364,10 @@ def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
     dispatch, one host sync per chunk; test eval at chunk boundaries."""
     n_train = jax.tree_util.tree_leaves(train_data)[0].shape[0]
     count = (n_train // cfg.batch_size) * cfg.batch_size
-    key = jax.random.PRNGKey(cfg.seed)
+    # fold start_epoch in so a checkpoint-resumed run does NOT replay the
+    # shuffle sequence from epoch 0 (the single-epoch path likewise seeds
+    # with seed + start_epoch)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start_epoch)
     fns = {}
     train_l2_hist, test_l2_hist, times = [], [], []
     ep = start_epoch
@@ -390,11 +393,15 @@ def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
                 tl = tl + eval_step(params, test_rem)
             test_l2 = float(tl) / n_test
             test_l2_hist.append(test_l2)
-        ep += k
+        ep_prev, ep = ep, ep + k
         if callback is not None:
             callback(ep - 1, params, float(l2_e[-1]), test_l2)
+        # checkpoint whenever the chunk CROSSED a checkpoint_every
+        # boundary — not only when it lands exactly on a multiple (a
+        # checkpoint_every not divisible by epochs_per_jit would
+        # otherwise silently skip every intermediate checkpoint)
         if (checkpoint_dir and checkpoint_every
-                and ep % checkpoint_every == 0):
+                and ep // checkpoint_every > ep_prev // checkpoint_every):
             from .checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_dir, ep, params, opt_state)

@@ -41,13 +41,21 @@ def main():
         variants = [("loop_vjp=False", dict(loop_vjp=False)),
                     ("loop_vjp=True", dict(loop_vjp=True))]
     else:
+        # kcached_fused defaults 'off' (GKNConfig) — the fused arms MUST
+        # force 'on' or they silently re-run the staged path (round-2
+        # advisor finding: both arms measured the same code).
         variants = [
             ("staged bf16", dict(kcached_fused="off")),
             ("staged fp8ste", dict(kcached_fused="off",
                                    k_storage="float8_e4m3")),
-            ("fused bf16", dict()),
-            ("fused fp8", dict(k_storage="float8_e4m3")),
+            ("fused bf16", dict(kcached_fused="on")),
+            ("fused fp8", dict(kcached_fused="on",
+                               k_storage="float8_e4m3")),
         ]
+        # the fused gate needs the host-verified receiver-span bound
+        assert graphs.sorted_span > 0, (
+            "graph lacks a verified sorted_span; the fused variants "
+            "would silently fall back to the staged path")
 
     results = {}
     for label, kw in variants:

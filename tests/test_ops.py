@@ -399,7 +399,13 @@ def test_sorted_block_reduce_empty_segments_and_gate():
     assert not _use_sorted_block("auto", 64, False, 512 * 4, big)
     assert not _use_sorted_block("auto", 64, True, 512 * 4 + 8, big)
     assert not _use_sorted_block("auto", 64, True, 512 * 4, 16)  # one-hot wins
-    assert _use_sorted_block("blockoh", 0, False, 7, 3)  # explicit
+    # explicit blockoh needs a verified span + 512-multiple E (forcing
+    # it unverified would silently drop edges — round-2 advisor finding)
+    assert _use_sorted_block("blockoh", 64, False, 512, 3)
+    with pytest.raises(ValueError):
+        _use_sorted_block("blockoh", 0, False, 512, 3)
+    with pytest.raises(ValueError):
+        _use_sorted_block("blockoh", 64, False, 7, 3)
 
 
 def test_build_graph_sorted_span_flag():
