@@ -163,12 +163,13 @@ register(ExperimentConfig(
 
 # UAI3_resolution.py: Nystrom m=200, k=2 graphs/sample, radius 0.25, MSE;
 # zero-shot eval at 61/121/241 (the discretization-invariance oracle).
+# ReLU after EVERY conv iteration incl. the last (UAI3_resolution.py:29).
 register(ExperimentConfig(
     name="uai3_resolution", family="gkn", downsample=4, ntrain=100,
     ntest=40, nystrom_m=200, graphs_per_sample=2, radius_train=0.25,
-    width=64, ker_width=256, depth=4, kernel_variant="nn3", loss="mse",
-    u_norm="gaussian", epochs=200, batch_size=2, eval_protocol="multires",
-    eval_resolutions=(61, 121, 241)))
+    width=64, ker_width=256, depth=4, kernel_variant="nn3", relu_last=True,
+    loss="mse", u_norm="gaussian", epochs=200, batch_size=2,
+    eval_protocol="multires", eval_resolutions=(61, 121, 241)))
 
 # Full-grid s=241 single-graph training: the regime the reference cannot
 # reach (its splitters exist to avoid it — UAI4_equation_sample.py trains
@@ -199,18 +200,21 @@ register(ExperimentConfig(
     ntest=40, nystrom_m=200, radius_train=0.25, width=64, ker_width=256,
     depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
 
-# UAI5_sample_generalize.py: train-m vs test-m generalization, radius 0.15.
+# UAI5_sample_generalize.py: train-m vs test-m generalization, radius
+# 0.15; ReLU incl. last iteration (UAI5_sample_generalize.py:29).
 register(ExperimentConfig(
     name="uai5_sample_generalize", family="gkn", downsample=1, ntrain=100,
     ntest=40, nystrom_m=400, radius_train=0.15, width=64, ker_width=256,
-    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2,
-    eval_m=(100, 200, 400, 800)))
+    depth=4, kernel_variant="nn3", relu_last=True, loss="mse", epochs=200,
+    batch_size=2, eval_m=(100, 200, 400, 800)))
 
-# UAI6_sample_radius.py: m x radius sweep (0.05/0.15/0.4).
+# UAI6_sample_radius.py: m x radius sweep (0.05/0.15/0.4); ReLU incl.
+# last iteration (UAI6_sample_radius.py:29).
 register(ExperimentConfig(
     name="uai6_sample_radius", family="gkn", downsample=1, ntrain=100,
     ntest=40, nystrom_m=200, radius_train=0.15, width=64, ker_width=256,
-    depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
+    depth=4, kernel_variant="nn3", relu_last=True, loss="mse", epochs=200,
+    batch_size=2))
 
 # UAI7_evaluate.py: train subsampled 421 grid; full-grid eval via
 # DownsampleGridSplitter shards + gaussian smoothing.

@@ -370,9 +370,16 @@ def _flatten_params(kernel_params):
 def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
-                        interpret: bool = False):
+                        interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
-    HBM round-trip)."""
+    HBM round-trip).
+
+    interpret=None (default) auto-selects: Mosaic on TPU, the pallas
+    interpreter elsewhere (CPU tests / virtual meshes) — Mosaic is
+    TPU-only and pallas_call hard-errors on the CPU backend otherwise.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert fused_path_supported(kernel_params, in_channels, out_channels), \
         "fused path unsupported for this kernel shape; use impl='scan'"
     dims = _layer_dims(kernel_params)

@@ -1,0 +1,79 @@
+"""JAX side of the oracle convergence A/B.
+
+Runs the SAME scaled protocols as oracle/run_uai3.py and
+oracle/run_mgkn_orthogonal.py through the framework's experiment runner
+(identical .mat inputs, hyperparameters, and eval protocols; each side
+draws its own Nystrom subsamples — the A/B target is agreement within
+across-seed spread, BASELINE.md north star).
+
+Usage:
+    python -m oracle.run_jax --data results/oracle_data \
+        --protocol uai3 --seed 0 --out results/oracle/uai3_jax_s0.json
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def uai3_config(data: str, seed: int):
+    from graph_pde_tpu.experiments import get
+
+    return dataclasses.replace(
+        get("uai3_resolution"),
+        data_path=f"{data}/darcy_train.mat",
+        test_data_path=f"{data}/darcy_test.mat",
+        ntrain=100, ntest=20, nystrom_m=100, graphs_per_sample=1,
+        epochs=30, batch_size=1, scheduler_step=20, seed=seed,
+        epochs_per_jit=1)
+
+
+def mgkn_config(data: str, seed: int):
+    from graph_pde_tpu.experiments import get
+
+    return dataclasses.replace(
+        get("mgkn_orthogonal_burgers1d"),
+        data_path=f"{data}/burgers.mat",
+        source_res=2048, downsample=8, ntrain=64, ntest=16, width=32,
+        ker_width=256, depth=4, epochs=40, learning_rate=1e-4, seed=seed,
+        epochs_per_jit=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="results/oracle_data")
+    ap.add_argument("--protocol", choices=("uai3", "mgkn"),
+                    required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from graph_pde_tpu.experiments import run_experiment
+
+    cfg = (uai3_config if args.protocol == "uai3"
+           else mgkn_config)(args.data, args.seed)
+    res = run_experiment(cfg)
+    res.pop("params", None)
+    res.pop("_bundle", None)
+    out = {"protocol": f"{args.protocol}_oracle_ab", "side": "jax",
+           "seed": args.seed,
+           "train_l2": res.get("train_l2"),
+           "final_train_l2": (res["train_l2"][-1]
+                              if res.get("train_l2") else None),
+           "final_test_l2": res.get("final_test_l2"),
+           "multires": res.get("multires")}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k != "train_l2"}))
+
+
+if __name__ == "__main__":
+    main()
