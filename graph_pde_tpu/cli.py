@@ -46,23 +46,11 @@ def _setup_jax_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _predict(args):
-    """Serve a GKN bundle: coefficient fields in, decoded solutions out.
-    The discretization-invariance property means the bundle's weights
-    accept ANY grid resolution (inference.GKNPredictor builds/splits
-    graphs per resolution)."""
+def _predict_darcy(args, params, mcfg, norms, extra):
+    """Darcy serving (GKN at any resolution / general MGKN via the
+    reference's split-assemble protocol, MGKN_general_darcy2d.py:306-333).
+    Coefficient fields in, decoded solution fields out."""
     import numpy as np
-
-    from .inference import GKNPredictor
-    from .train import load_bundle
-
-    params, mcfg, norms, extra = load_bundle(args.bundle)
-    if extra.get("family", "gkn") != "gkn" or \
-            extra.get("dataset", "darcy") != "darcy":
-        print("error: predict serves Darcy GKN bundles (got "
-              f"family={extra.get('family')!r} "
-              f"dataset={extra.get('dataset')!r})", file=sys.stderr)
-        return 2
 
     kcoeff = kx = ky = None
     truth = None
@@ -85,16 +73,13 @@ def _predict(args):
                 ky = val
         if args.truth_field:
             truth = reader.read_field(args.truth_field)
-    elif args.synthetic:
+    else:
         from .data import load_or_generate_darcy
 
         fields = load_or_generate_darcy(args.synthetic, args.res)
         coeff, kcoeff = fields["coeff"], fields["Kcoeff"]
         kx, ky = fields["Kcoeff_x"], fields["Kcoeff_y"]
         truth = fields["sol"]
-    else:
-        print("error: need --input or --synthetic", file=sys.stderr)
-        return 2
 
     if args.n:
         def cut(a):
@@ -103,12 +88,23 @@ def _predict(args):
         coeff, kcoeff, kx, ky = map(cut, (coeff, kcoeff, kx, ky))
         truth = cut(truth)
 
-    predictor = GKNPredictor(
-        params, mcfg,
-        input_normalizers={k: norms[k] for k in
-                           ("a", "a_smooth", "a_gradx", "a_grady")},
-        u_normalizer=norms["u"],
-        radius=float(extra.get("radius", 0.2)))
+    input_norms = {k: norms[k] for k in
+                   ("a", "a_smooth", "a_gradx", "a_grady")}
+    if extra.get("family") == "mgkn_general":
+        from .inference import MGKNGeneralPredictor
+
+        predictor = MGKNGeneralPredictor(
+            params, mcfg, input_normalizers=input_norms,
+            u_normalizer=norms["u"],
+            radius_inner=tuple(extra["radius_inner"]),
+            radius_inter=tuple(extra["radius_inter"]))
+    else:
+        from .inference import GKNPredictor
+
+        predictor = GKNPredictor(
+            params, mcfg, input_normalizers=input_norms,
+            u_normalizer=norms["u"],
+            radius=float(extra.get("radius", 0.2)))
     t0 = time.perf_counter()
     pred = predictor.predict(coeff, kcoeff, kx, ky)
     dt = time.perf_counter() - t0
@@ -128,6 +124,83 @@ def _predict(args):
         summary["output"] = args.output
     print(json.dumps(summary))
     return 0
+
+
+def _predict_burgers_orthogonal(args, params, mcfg, norms, extra):
+    """Orthogonal-MGKN serving: Burgers initial conditions 'a' [n, s] in
+    (at the bundle's training s — the level hierarchy is baked into the
+    weights), decoded solutions out."""
+    import numpy as np
+
+    from .inference import MGKNOrthogonalPredictor
+
+    truth = None
+    if args.input:
+        from .utils.matio import MatReader
+
+        reader = MatReader(args.input)
+        a = reader.read_field("a")
+        if args.truth_field:
+            truth = reader.read_field(args.truth_field)
+    else:
+        from .data import load_or_generate_burgers
+
+        fields = load_or_generate_burgers(args.synthetic, mcfg.s)
+        a, truth = fields["a"], fields["u"]
+    if args.n:
+        a = a[: args.n]
+        truth = None if truth is None else truth[: args.n]
+    if a.shape[1] != mcfg.s and a.shape[1] % mcfg.s == 0:
+        # stride-downsample to the training grid (the reference reads
+        # 2^13 fields and strides by r, MGKN_orthogonal_burgers1d.py:137)
+        a = a[:, :: a.shape[1] // mcfg.s]
+        truth = None if truth is None else \
+            truth[:, :: truth.shape[1] // mcfg.s]
+
+    predictor = MGKNOrthogonalPredictor(
+        params, mcfg, a_normalizer=norms["a"], u_normalizer=norms["u"])
+    t0 = time.perf_counter()
+    pred = predictor.predict(a)
+    dt = time.perf_counter() - t0
+    n, s = pred.shape
+    summary = {"n": n, "s": s, "wall_time_s": round(dt, 3),
+               "per_sample_ms": round(1000 * dt / n, 2)}
+    if truth is not None:
+        from .utils.losses import LpLoss
+
+        rel = LpLoss(size_average=True).rel(pred,
+                                            np.asarray(truth)[:, :s])
+        summary["rel_l2"] = round(float(rel), 6)
+    if args.output:
+        from .utils.matio import write_mat
+
+        write_mat(args.output, {"pred": pred})
+        summary["output"] = args.output
+    print(json.dumps(summary))
+    return 0
+
+
+def _predict(args):
+    """Serve a trained bundle on new input fields. Dispatches on the
+    bundle's family: GKN (Darcy, any resolution — discretization
+    invariance), general MGKN (Darcy, reference split/assemble
+    protocol), orthogonal MGKN (Burgers at the training s)."""
+    from .train import load_bundle
+
+    if not args.input and not args.synthetic:
+        print("error: need --input or --synthetic", file=sys.stderr)
+        return 2
+    params, mcfg, norms, extra = load_bundle(args.bundle)
+    family = extra.get("family", "gkn")
+    dataset = extra.get("dataset", "darcy")
+    if family == "mgkn_orthogonal":
+        return _predict_burgers_orthogonal(args, params, mcfg, norms,
+                                           extra)
+    if dataset == "darcy" and family in ("gkn", "mgkn_general"):
+        return _predict_darcy(args, params, mcfg, norms, extra)
+    print(f"error: no serving path for family={family!r} "
+          f"dataset={dataset!r}", file=sys.stderr)
+    return 2
 
 
 def main(argv=None):
@@ -158,6 +231,15 @@ def main(argv=None):
     runp.add_argument("--bundle", default=None, metavar="DIR",
                       help="export a serving bundle of the trained "
                            "model (train/export.py)")
+    runp.add_argument("--figures", default=None, metavar="DIR",
+                      help="save truth/approx/error triptychs for the "
+                           "worst/median/best test samples (reference "
+                           "parity: UAI1_full_resolution.py:335-461)")
+    runp.add_argument("--profile", default=None, metavar="DIR",
+                      help="capture a jax.profiler trace of the run")
+    runp.add_argument("--curves", default=None, metavar="DIR",
+                      help="save epoch-indexed train/test rel-L2 curve "
+                           ".txt files (FitResult.save_curves)")
     swp = sub.add_parser("sweep", help="run a parameter sweep (the "
                                        "reference scripts' for-loops)")
     swp.add_argument("experiment", help="experiment name")
@@ -227,8 +309,30 @@ def main(argv=None):
         print(msg, flush=True)
 
     t0 = time.perf_counter()
-    result = run_experiment(cfg, smoke=args.smoke, progress=progress)
+    result = run_experiment(cfg, smoke=args.smoke, progress=progress,
+                            figures_dir=args.figures,
+                            profile_dir=args.profile)
     bundle_payload = result.pop("_bundle", None)
+    if args.curves:
+        import numpy as _np
+        import os as _os
+
+        _os.makedirs(args.curves, exist_ok=True)
+        train = _np.stack([
+            _np.arange(1, len(result["train_l2"]) + 1, dtype=float),
+            _np.asarray(result["train_l2"], float)], axis=1)
+        _np.savetxt(_os.path.join(args.curves,
+                                  f"{cfg.name}_train_l2.txt"),
+                    train, header="epoch rel_l2")
+        if result.get("test_l2"):
+            test = _np.stack([
+                _np.asarray(result.get("test_epochs") or
+                            range(1, len(result["test_l2"]) + 1), float),
+                _np.asarray(result["test_l2"], float)], axis=1)
+            _np.savetxt(_os.path.join(args.curves,
+                                      f"{cfg.name}_test_l2.txt"),
+                        test, header="epoch rel_l2")
+        print(f"curves -> {args.curves}")
     if args.bundle:
         if bundle_payload is None:
             print(f"error: {cfg.family!r} runner exports no bundle",

@@ -51,25 +51,121 @@ def _kernel_layers(cfg: ExperimentConfig, ker_in: int):
 
 
 def run_experiment(cfg: ExperimentConfig, smoke: bool = False,
-                   progress=None) -> Dict:
+                   progress=None, figures_dir: Optional[str] = None,
+                   profile_dir: Optional[str] = None) -> Dict:
+    """figures_dir: emit truth/approx/error triptychs for the worst /
+    median / best test samples (the reference's per-run visual
+    inspection, UAI1_full_resolution.py:335-461). profile_dir: capture a
+    jax.profiler trace of the whole run (replaces the reference's
+    wall-clock-only bracketing, SURVEY.md section 5)."""
     if smoke:
         cfg = cfg.smoke()
-    if cfg.family == "gkn":
-        return _run_gkn(cfg, progress)
-    if cfg.family == "gcn":
-        return _run_gcn(cfg, progress)
-    if cfg.family == "mgkn_general":
-        return _run_mgkn_general(cfg, progress)
-    if cfg.family == "mgkn_orthogonal":
-        return _run_mgkn_orthogonal(cfg, progress)
-    if cfg.family == "torus_t":
-        return _run_torus_timeseries(cfg, progress)
-    raise ValueError(cfg.family)
+
+    def dispatch():
+        if cfg.family == "gkn":
+            return _run_gkn(cfg, progress, figures_dir)
+        if cfg.family == "gcn":
+            return _run_gcn(cfg, progress)
+        if cfg.family == "mgkn_general":
+            return _run_mgkn_general(cfg, progress, figures_dir)
+        if cfg.family == "mgkn_orthogonal":
+            return _run_mgkn_orthogonal(cfg, progress, figures_dir)
+        if cfg.family == "torus_t":
+            return _run_torus_timeseries(cfg, progress)
+        raise ValueError(cfg.family)
+
+    if profile_dir:
+        from ..train.metrics import profile_trace
+
+        with profile_trace(profile_dir):
+            result = dispatch()
+        result["profile_dir"] = profile_dir
+        return result
+    return dispatch()
+
+
+def _emit_run_figures(figures_dir: str, cfg, task, params, test_data,
+                      coords_dim: int) -> list:
+    """Truth/approx/error figures for the WORST / MEDIAN / BEST test
+    samples by decoded rel-L2 (reference parity:
+    UAI1_full_resolution.py:335-461 saves per-run field images).
+    Full-grid samples render as imshow triptychs; Nystrom subsamples as
+    scatter triptychs; 1-D fields as line plots."""
+    import os
+
+    import jax
+    from ..data.datasets import batch_iterator
+    from ..train.metrics import (save_field_triptych,
+                                 save_points_triptych,
+                                 save_line_triptych)
+
+    dec_p, dec_y, masks, coords = [], [], [], []
+    sample_idx = []
+
+    @jax.jit
+    def fwd(params, batch):
+        pred = task.forward(params, batch)
+        y = task.targets(batch)
+        mask = task.mask(batch)
+        return (task.decode(pred[..., 0], batch),
+                task.decode(y[..., 0], batch), mask)
+
+    for batch in batch_iterator(test_data, 4, drop_remainder=False):
+        p, y, m = jax.device_get(fwd(params, batch))
+        dec_p.append(p)
+        dec_y.append(y)
+        masks.append(np.asarray(m))
+        bx = np.asarray(batch.x)
+        nmax = p.shape[1]
+        coords.append(bx[:, :nmax, :coords_dim])
+        si = getattr(batch, "sample_idx", None)
+        sample_idx.append(None if si is None
+                          else np.asarray(si)[:, :nmax])
+    dec_p = np.concatenate(dec_p)
+    dec_y = np.concatenate(dec_y)
+    masks = np.concatenate(masks)
+    coords = np.concatenate(coords)
+    sample_idx = (None if sample_idx[0] is None
+                  else np.concatenate(sample_idx))
+
+    pm, ym = dec_p * masks, dec_y * masks
+    rels = (np.linalg.norm(pm - ym, axis=1)
+            / np.maximum(np.linalg.norm(ym, axis=1), 1e-12))
+    order = np.argsort(rels)
+    picks = {"best": order[0], "median": order[len(order) // 2],
+             "worst": order[-1]}
+    os.makedirs(figures_dir, exist_ok=True)
+    written = []
+    for tag, j in picks.items():
+        valid = masks[j] > 0
+        t, a = dec_y[j][valid], dec_p[j][valid]
+        path = os.path.join(figures_dir, f"{cfg.name}_{tag}.png")
+        title = f"{cfg.name} {tag} rel-L2={rels[j]:.4f}"
+        if coords_dim == 1:
+            xs = coords[j][valid, 0]
+            o = np.argsort(xs)
+            out = save_line_triptych(xs[o], t[o], a[o], path, title)
+        else:
+            nv = int(valid.sum())
+            side = int(round(np.sqrt(nv)))
+            full_grid = side * side == nv and (
+                sample_idx is None
+                or np.array_equal(sample_idx[j][valid][:nv],
+                                  np.arange(nv)))
+            if full_grid:
+                out = save_field_triptych(t, a, path, title)
+            else:
+                out = save_points_triptych(coords[j][valid], t, a, path,
+                                           title)
+        if out:
+            written.append(out)
+    return written
 
 
 # ------------------------------------------------------------------ GKN
 
-def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
+def _run_gkn(cfg: ExperimentConfig, progress=None,
+             figures_dir=None) -> Dict:
     import jax
     from ..models import GKNConfig, gkn_init
     from ..train import GKNTask, TrainConfig, fit, evaluate
@@ -138,9 +234,14 @@ def _run_gkn(cfg: ExperimentConfig, progress=None) -> Dict:
         "config": cfg.name,
         "train_l2": res.train_l2,
         "test_l2": res.test_l2,
+        "test_epochs": res.test_epochs,
         "epoch_times": res.epoch_times,
         "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
     }
+    if figures_dir:
+        result["figures"] = _emit_run_figures(
+            figures_dir, cfg, task, res.params, test_g,
+            coords_dim=2 if cfg.dataset == "darcy" else 1)
 
     if cfg.eval_protocol == "multires" and cfg.dataset == "darcy":
         result["multires"], result["multires_fresh_fields"] = \
@@ -419,7 +520,8 @@ def _run_gcn(cfg: ExperimentConfig, progress=None) -> Dict:
 
 # ---------------------------------------------------------------- MGKN
 
-def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
+def _run_mgkn_general(cfg: ExperimentConfig, progress=None,
+                      figures_dir=None) -> Dict:
     import jax
     from ..models import MGKNGeneralConfig, mgkn_general_init
     from ..train import MGKNGeneralTask, TrainConfig, fit, evaluate
@@ -459,14 +561,19 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
     res = fit(task, params, train_g, tc, test_data=test_g,
               callback=progress)
     result = {"config": cfg.name, "train_l2": res.train_l2,
-              "test_l2": res.test_l2, "epoch_times": res.epoch_times,
+              "test_l2": res.test_l2, "test_epochs": res.test_epochs,
+              "epoch_times": res.epoch_times,
               "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
               "params": res.params,
               "_bundle": {"model_cfg": mcfg,
                           "normalizers": {**norms,
                                           "u": arrays.u_normalizer},
                           "extra": {"family": "mgkn_general",
-                                    "experiment": cfg.name}}}
+                                    "experiment": cfg.name,
+                                    "dataset": cfg.dataset,
+                                    "radius_inner": list(cfg.radius_inner),
+                                    "radius_inter": list(cfg.radius_inter),
+                                    "train_s": int(arrays.s)}}}
     if cfg.eval_protocol == "split_random":
         result["full_field_l2"] = _eval_mgkn_split(
             cfg, mcfg, res.params, arrays, norms, caps)
@@ -474,6 +581,9 @@ def _run_mgkn_general(cfg: ExperimentConfig, progress=None) -> Dict:
         result["multires"], result["multires_fresh_fields"] = \
             _eval_mgkn_multires(cfg, mcfg, task, res.params, arrays,
                                 norms)
+    if figures_dir:
+        result["figures"] = _emit_run_figures(
+            figures_dir, cfg, task, res.params, test_g, coords_dim=2)
     return result
 
 
@@ -671,7 +781,8 @@ def _run_torus_timeseries(cfg: ExperimentConfig, progress=None) -> Dict:
             "final_test_l2": float(np.mean(per_step)), "params": params}
 
 
-def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
+def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None,
+                         figures_dir=None) -> Dict:
     import jax
     import jax.numpy as jnp
     from ..models import (
@@ -717,15 +828,22 @@ def _run_mgkn_orthogonal(cfg: ExperimentConfig, progress=None) -> Dict:
                      seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
     res = fit(task, params, train_g, tc, test_data=test_g,
               callback=progress)
+    figures = (_emit_run_figures(figures_dir, cfg, task, res.params,
+                                 test_g, coords_dim=1)
+               if figures_dir else None)
     return {"config": cfg.name, "train_l2": res.train_l2,
-            "test_l2": res.test_l2, "epoch_times": res.epoch_times,
+            "test_l2": res.test_l2, "test_epochs": res.test_epochs,
+            "epoch_times": res.epoch_times,
             "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
+            "figures": figures,
             "params": res.params,
             "_bundle": {"model_cfg": mcfg,
                         "normalizers": {"a": arrays.a_normalizer,
                                         "u": arrays.u_normalizer},
                         "extra": {"family": "mgkn_orthogonal",
-                                  "experiment": cfg.name}}}
+                                  "experiment": cfg.name,
+                                  "dataset": cfg.dataset,
+                                  "train_s": int(arrays.s)}}}
 
 
 __all__ = ["run_experiment"]

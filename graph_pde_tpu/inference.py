@@ -26,6 +26,41 @@ from .graph import (SquareMeshGenerator, RandomGridSplitter, build_graph,
 from .models.gkn import GKNConfig, gkn_apply
 
 
+def derive_aux_fields(coeff, kcoeff, kx, ky, s):
+    """Derive each missing auxiliary Darcy field independently (a caller
+    may supply Kcoeff but not its gradients); matches data/synthetic.py's
+    derivations (smooth = gaussian_filter(coeff, 1.0); grads = central
+    differences of the smoothed field on the unit grid)."""
+    if kcoeff is None:
+        from scipy.ndimage import gaussian_filter as gf
+
+        kcoeff = np.stack([gf(np.asarray(c).reshape(s, s), sigma=1.0)
+                           for c in coeff])
+    if kx is None or ky is None:
+        h = 1.0 / (s - 1)
+        grads = [np.gradient(np.asarray(k).reshape(s, s), h)
+                 for k in kcoeff]
+        if kx is None:
+            kx = np.stack([g[0] for g in grads])
+        if ky is None:
+            ky = np.stack([g[1] for g in grads])
+    return kcoeff, kx, ky
+
+
+def _check_unit_norm_resolution(u_normalizer, s_nodes: int, family: str):
+    """UnitGaussianNormalizer carries PER-NODE stats on the TRAINING
+    grid; decoding another resolution with positional sample_idx would
+    silently read the wrong rows."""
+    u_stats = np.asarray(getattr(u_normalizer, "mean", 0.0))
+    if u_stats.ndim >= 1 and u_stats.size > 1 and u_stats.size != s_nodes:
+        raise ValueError(
+            f"bundle's unit u-normalizer has per-node stats for "
+            f"{u_stats.size} training-grid nodes but input has "
+            f"{s_nodes} nodes; serve {family} at the training "
+            f"resolution, or train/export with u_norm='gaussian' for "
+            f"resolution-free serving")
+
+
 @dataclasses.dataclass
 class GKNPredictor:
     params: object
@@ -87,22 +122,7 @@ class GKNPredictor:
                 f"s={s} ({s * s} nodes); serve at the training "
                 f"resolution, or train/export with u_norm='gaussian' "
                 f"for resolution-free serving")
-        # Derive each missing auxiliary field independently (a caller may
-        # supply Kcoeff but not its gradients — e.g. a .mat with only
-        # 'coeff'+'Kcoeff'); matches data/synthetic.py's derivations.
-        if kcoeff is None:
-            from scipy.ndimage import gaussian_filter as gf
-
-            kcoeff = np.stack([gf(np.asarray(c).reshape(s, s), sigma=1.0)
-                               for c in coeff])
-        if kx is None or ky is None:
-            h = 1.0 / (s - 1)
-            grads = [np.gradient(np.asarray(k).reshape(s, s), h)
-                     for k in kcoeff]
-            if kx is None:
-                kx = np.stack([g[0] for g in grads])
-            if ky is None:
-                ky = np.stack([g[1] for g in grads])
+        kcoeff, kx, ky = derive_aux_fields(coeff, kcoeff, kx, ky, s)
         fields = self._encode_fields(coeff, kcoeff, kx, ky)
 
         if s * s > self.split_threshold:
@@ -166,6 +186,138 @@ class GKNPredictor:
             return np.asarray(self.u_normalizer.decode(values))
 
 
+@dataclasses.dataclass
+class MGKNGeneralPredictor:
+    """Serves a general-MGKN bundle on raw Darcy coefficient fields via
+    the reference's own full-field protocol: RandomMultiMeshSplitter
+    windows covering every grid node, per-split multilevel forward,
+    assembler stitch (MGKN_general_darcy2d.py:306-333). The multilevel
+    graph always subsamples to cfg.points, so the splitter path is the
+    native serving path at ANY grid size (there is no "small-grid"
+    special case as in GKNPredictor)."""
+
+    params: object
+    cfg: object                      # MGKNGeneralConfig
+    input_normalizers: dict          # 'a', 'a_smooth', 'a_gradx', 'a_grady'
+    u_normalizer: object
+    radius_inner: tuple
+    radius_inter: tuple
+    seed: int = 0
+
+    def __post_init__(self):
+        import jax
+
+        from .models.mgkn_general import mgkn_general_apply
+
+        self._fwd = jax.jit(
+            lambda g: mgkn_general_apply(self.params, self.cfg, g))
+        self._splitters = {}
+
+    def predict(self, coeff, kcoeff=None, kx=None, ky=None) -> np.ndarray:
+        """coeff (+ optional smoothed/gradient fields): [n, s, s].
+        Returns decoded solutions [n, s*s]."""
+        import jax
+        from .graph import RandomMultiMeshSplitter
+
+        coeff = np.asarray(coeff)
+        n, s = coeff.shape[0], coeff.shape[1]
+        _check_unit_norm_resolution(self.u_normalizer, s * s,
+                                    "mgkn_general")
+        kcoeff, kx, ky = derive_aux_fields(coeff, kcoeff, kx, ky, s)
+        norms = self.input_normalizers
+        flat = lambda a: np.asarray(a).reshape(n, -1)
+        enc = {
+            "a": np.asarray(norms["a"].encode(flat(coeff))),
+            "a_smooth": np.asarray(norms["a_smooth"].encode(flat(kcoeff))),
+            "a_gradx": np.asarray(norms["a_gradx"].encode(flat(kx))),
+            "a_grady": np.asarray(norms["a_grady"].encode(flat(ky))),
+        }
+        if s not in self._splitters:
+            self._splitters[s] = RandomMultiMeshSplitter(
+                [[0, 1], [0, 1]], [s, s], level=len(self.cfg.points),
+                sample_sizes=list(self.cfg.points), seed=self.seed)
+        sp = self._splitters[s]
+        out = np.zeros((n, s * s), np.float32)
+        caps = None
+        for j in range(n):
+            theta_all = np.stack([enc["a"][j], enc["a_smooth"][j],
+                                  enc["a_gradx"][j], enc["a_grady"][j]],
+                                 axis=1)
+            shards, caps = sp.splitter(
+                list(self.radius_inner), list(self.radius_inter),
+                enc["a"][j], theta_all, caps=caps)
+            outs, idxs = [], []
+            for g in shards:
+                pred = np.asarray(self._fwd(jax.device_put(g)))[:, 0]
+                idx = np.asarray(g.sample_idx)
+                dec = self._decode_rows(pred, idx)
+                outs.append(dec)
+                idxs.append(idx)
+            out[j] = sp.assembler(outs, idxs)
+        return out
+
+    def _decode_rows(self, values, idx):
+        try:
+            dec = self.u_normalizer.decode(values[None],
+                                           sample_idx=idx[None])
+        except (TypeError, IndexError):
+            dec = self.u_normalizer.decode(values[None])
+        return np.asarray(dec)[0]
+
+
+@dataclasses.dataclass
+class MGKNOrthogonalPredictor:
+    """Serves an orthogonal-MGKN bundle on raw Burgers initial conditions
+    a [n, s]. The dyadic level hierarchy is baked into the weights
+    (level count = log2(s) - 1, one conv per level —
+    MGKN_orthogonal_burgers1d.py:21-43), so serving is at the training
+    resolution cfg.s."""
+
+    params: object
+    cfg: object                      # MGKNOrthogonalConfig
+    a_normalizer: object
+    u_normalizer: object
+
+    def __post_init__(self):
+        import jax
+
+        from .models.mgkn_orthogonal import mgkn_orthogonal_apply
+
+        self._fwd = jax.jit(jax.vmap(
+            lambda g: mgkn_orthogonal_apply(self.params, self.cfg, g)))
+
+    def predict(self, a) -> np.ndarray:
+        """a: [n, s] initial conditions at the training resolution.
+        Returns decoded solutions [n, s]."""
+        import jax
+        import jax.numpy as jnp
+        from .data.datasets import BurgersArrays, burgers_multipole_data
+        from .models.mgkn_orthogonal import MultipoleGraph1D
+
+        a = np.asarray(a, np.float32)
+        n, s = a.shape
+        if s != self.cfg.s:
+            raise ValueError(
+                f"orthogonal MGKN serves at its training resolution "
+                f"s={self.cfg.s} (the level hierarchy is baked into the "
+                f"weights); got s={s}")
+        enc = np.asarray(self.a_normalizer.encode(a))
+        arrays = BurgersArrays(a=enc, u=np.zeros_like(enc),
+                               a_normalizer=self.a_normalizer,
+                               u_normalizer=self.u_normalizer, s=s)
+        xs, _, senders, receivers, attrs = burgers_multipole_data(arrays)
+        graphs = MultipoleGraph1D(
+            x=jnp.asarray(xs),
+            senders=[jnp.asarray(np.broadcast_to(se, (n,) + se.shape))
+                     for se in senders],
+            receivers=[jnp.asarray(np.broadcast_to(r, (n,) + r.shape))
+                       for r in receivers],
+            attrs=[jnp.asarray(at) for at in attrs],
+            y=jnp.zeros((n, s, 1)))
+        pred = np.asarray(self._fwd(jax.device_put(graphs)))[:, :, 0]
+        return np.asarray(self.u_normalizer.decode(pred))
+
+
 def _largest_divisor_leq(n: int, m: int) -> int:
     best = 1
     d = 1
@@ -178,4 +330,5 @@ def _largest_divisor_leq(n: int, m: int) -> int:
     return best
 
 
-__all__ = ["GKNPredictor"]
+__all__ = ["GKNPredictor", "MGKNGeneralPredictor",
+           "MGKNOrthogonalPredictor", "derive_aux_fields"]

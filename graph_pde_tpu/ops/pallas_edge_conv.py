@@ -215,15 +215,32 @@ def _pad_e(arr, e_pad):
 
 @functools.lru_cache(maxsize=64)
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
-                  dtype_name, interpret):
+                  dtype_name, interpret, chunk=None,
+                  dim_semantics=True):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
     kw_last = layer_dims[-1][0]
     c_total = layer_dims[-1][1]
-    chunk = min(C_CHUNK, c_total)
+    if chunk is None:
+        chunk = min(C_CHUNK, c_total)
+    assert c_total % chunk == 0 and chunk % out_channels == 0
     n_chunks = c_total // chunk
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+
+    def params_for(grid_order):
+        # Declare which grid axis is embarrassingly parallel so Mosaic
+        # can pipeline/parallelize it; the axis that accumulates into a
+        # revisited output block stays 'arbitrary' (sequential).
+        # grid_order: 'ec' = (E_blocks, n_chunks), 'ce' = transposed.
+        if interpret or not dim_semantics:
+            return None
+        # both grids put the independent axis first: 'ec' iterates
+        # (E parallel, chunks accumulate), 'ce' (chunks parallel,
+        # E accumulates)
+        sem = (pltpu.GridDimensionSemantics.PARALLEL,
+               pltpu.GridDimensionSemantics.ARBITRARY)
+        return pltpu.CompilerParams(dimension_semantics=sem)
 
     def const_spec(i, o, ndims=2):
         return pl.BlockSpec((i, o), lambda ei, ci: (0, 0),
@@ -262,6 +279,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                                            jnp.float32),
             scratch_shapes=[pltpu.VMEM((block_e, kw_last), jnp.float32)],
             interpret=interpret,
+            compiler_params=params_for("ec"),
         )(xs, at, *flat)
         return msg[:e]
 
@@ -288,6 +306,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                 jax.ShapeDtypeStruct((e_pad, kw_last), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=params_for("ec"),
         )(h2p, xs, gp, w_last)
 
         # kernel 2: dW, db (grid C x E, edge accumulation)
@@ -312,6 +331,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                 jax.ShapeDtypeStruct((1, c_total), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=params_for("ce"),
         )(h2p, xs, gp)
         return dwl, dbl, dx[:e], dh2[:e]
 
@@ -370,6 +390,7 @@ def _flatten_params(kernel_params):
 def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
+                        chunk=None, dim_semantics=True,
                         interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
@@ -392,7 +413,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     dtype_name = "bfloat16" if compute_dtype in ("bfloat16", jnp.bfloat16) \
         else None
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
-                          dtype_name, interpret)
+                          dtype_name, interpret, chunk=chunk,
+                          dim_semantics=dim_semantics)
     from .segment import gather_rows
 
     flat = tuple(_flatten_params(kernel_params))

@@ -98,4 +98,61 @@ def save_field_triptych(truth: np.ndarray, approx: np.ndarray,
     return path
 
 
-__all__ = ["MetricsLogger", "profile_trace", "save_field_triptych"]
+def save_points_triptych(xy: np.ndarray, truth: np.ndarray,
+                         approx: np.ndarray, path: str,
+                         title: str = "") -> Optional[str]:
+    """Truth / prediction / error triptych for scattered (Nystrom) nodes
+    — the reference's per-run visual inspection (UAI1:335-461) adapted
+    to subsampled graphs where no full grid exists."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    t, a = np.asarray(truth), np.asarray(approx)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    for ax, (vals, name) in zip(axes, [(t, "truth"), (a, "approx"),
+                                       (t - a, "error")]):
+        im = ax.scatter(xy[:, 0], xy[:, 1], c=vals, s=14)
+        ax.set_title(name)
+        ax.set_aspect("equal")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    if title:
+        fig.suptitle(title)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def save_line_triptych(x: np.ndarray, truth: np.ndarray,
+                       approx: np.ndarray, path: str,
+                       title: str = "") -> Optional[str]:
+    """1-D variant (Burgers): truth vs prediction overlay + error."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    t, a = np.asarray(truth), np.asarray(approx)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    axes[0].plot(x, t, label="truth")
+    axes[0].plot(x, a, "--", label="approx")
+    axes[0].legend()
+    axes[0].set_title("truth vs approx")
+    axes[1].plot(x, t - a)
+    axes[1].set_title("error")
+    if title:
+        fig.suptitle(title)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+__all__ = ["MetricsLogger", "profile_trace", "save_field_triptych",
+           "save_points_triptych", "save_line_triptych"]

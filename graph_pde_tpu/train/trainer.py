@@ -220,6 +220,40 @@ class FitResult:
     train_l2: list
     test_l2: list
     epoch_times: list
+    # epoch index (1-based, = epochs completed) of each test_l2 entry.
+    # With epochs_per_jit > 1 the test eval runs at chunk boundaries
+    # only, so len(test_l2) == epochs/K while len(train_l2) == epochs —
+    # zipping the two histories blindly mis-aligns; consumers must pair
+    # test_l2[i] with epoch test_epochs[i].
+    test_epochs: list = dataclasses.field(default_factory=list)
+
+    def curves(self):
+        """Aligned error curves for reference-style np.savetxt export:
+        (train [epochs, 2] of (epoch, rel-L2), test [n_evals, 2]).
+        Epoch columns make the multi-epoch-chunk eval cadence explicit
+        (UAI1_full_resolution.py:312-315 saves bare arrays and relies on
+        equal lengths — which epochs_per_jit>1 breaks)."""
+        train = np.stack([np.arange(1, len(self.train_l2) + 1,
+                                    dtype=np.float64),
+                          np.asarray(self.train_l2, np.float64)], axis=1)
+        test = np.stack([np.asarray(self.test_epochs, np.float64),
+                         np.asarray(self.test_l2, np.float64)],
+                        axis=1) if self.test_l2 else np.zeros((0, 2))
+        return train, test
+
+    def save_curves(self, out_dir: str, name: str = "run"):
+        """Writes {name}_train_l2.txt / {name}_test_l2.txt with epoch
+        columns."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        train, test = self.curves()
+        paths = []
+        for arr, key in ((train, "train_l2"), (test, "test_l2")):
+            p = os.path.join(out_dir, f"{name}_{key}.txt")
+            np.savetxt(p, arr, header="epoch rel_l2")
+            paths.append(p)
+        return paths
 
 
 def fit(task: Task, params, train_data, cfg: TrainConfig,
@@ -313,7 +347,7 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
     else:
         train_step = make_train_step(task, tx)
 
-    train_l2_hist, test_l2_hist, times = [], [], []
+    train_l2_hist, test_l2_hist, test_epochs, times = [], [], [], []
     for ep in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         if scan_epochs:
@@ -342,6 +376,7 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
                 tl = tl + eval_step(params, test_rem)
             test_l2 = float(tl) / max(n_test, 1)
             test_l2_hist.append(test_l2)
+            test_epochs.append(ep + 1)
         if callback is not None:
             callback(ep, params, train_l2, test_l2)
         if (checkpoint_dir and checkpoint_every
@@ -353,7 +388,8 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
         from .checkpoint import save_checkpoint
 
         save_checkpoint(checkpoint_dir, cfg.epochs, params, opt_state)
-    return FitResult(params, opt_state, train_l2_hist, test_l2_hist, times)
+    return FitResult(params, opt_state, train_l2_hist, test_l2_hist,
+                     times, test_epochs)
 
 
 def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
@@ -369,7 +405,7 @@ def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
     # with seed + start_epoch)
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start_epoch)
     fns = {}
-    train_l2_hist, test_l2_hist, times = [], [], []
+    train_l2_hist, test_l2_hist, test_epochs, times = [], [], [], []
     ep = start_epoch
     while ep < cfg.epochs:
         k = min(cfg.epochs_per_jit, cfg.epochs - ep)
@@ -394,6 +430,8 @@ def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
             test_l2 = float(tl) / n_test
             test_l2_hist.append(test_l2)
         ep_prev, ep = ep, ep + k
+        if test_l2 is not None:
+            test_epochs.append(ep)
         if callback is not None:
             callback(ep - 1, params, float(l2_e[-1]), test_l2)
         # checkpoint whenever the chunk CROSSED a checkpoint_every
@@ -409,7 +447,8 @@ def _fit_multi_epoch(task, params, train_data, cfg, tx, opt_state,
         from .checkpoint import save_checkpoint
 
         save_checkpoint(checkpoint_dir, cfg.epochs, params, opt_state)
-    return FitResult(params, opt_state, train_l2_hist, test_l2_hist, times)
+    return FitResult(params, opt_state, train_l2_hist, test_l2_hist,
+                     times, test_epochs)
 
 
 def evaluate(task: Task, params, data, batch_size: int = 4) -> float:

@@ -49,13 +49,40 @@ def test_run_bundle_predict_roundtrip(tmp_path, capsys):
     assert summary["s"] == 17 and np.isfinite(summary["rel_l2"])
 
 
-def test_predict_rejects_non_gkn_bundle(tmp_path, capsys):
+def test_mgkn_general_bundle_predict_roundtrip(tmp_path, capsys):
+    """MGKN-general serving via the reference's split/assemble protocol
+    (MGKN_general_darcy2d.py:306-333): train smoke -> bundle -> predict
+    at the training resolution (unit u-norm pins per-node stats)."""
     bundle = str(tmp_path / "b2")
     rc = main(["run", "neurips2_mgkn", "--smoke", "--bundle", bundle])
     assert rc == 0
     capsys.readouterr()
-    rc = main(["predict", bundle, "--synthetic", "1", "--res", "17"])
-    assert rc == 2
+    rc = main(["predict", bundle, "--synthetic", "1", "--res", "33"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 1 and summary["s"] == 33
+    assert np.isfinite(summary["rel_l2"])
+
+
+def test_mgkn_orthogonal_bundle_predict_roundtrip(tmp_path, capsys):
+    """Orthogonal-MGKN serving at the bundle's training s (the dyadic
+    level hierarchy is baked into the weights)."""
+    bundle = str(tmp_path / "b3")
+    rc = main(["run", "mgkn_orthogonal_burgers1d", "--smoke",
+               "--bundle", bundle])
+    assert rc == 0
+    capsys.readouterr()
+    out_mat = str(tmp_path / "pred1d.mat")
+    rc = main(["predict", bundle, "--synthetic", "2",
+               "--output", out_mat])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 2 and np.isfinite(summary["rel_l2"])
+
+    from graph_pde_tpu.utils.matio import MatReader
+
+    pred = MatReader(out_mat).read_field("pred")
+    assert pred.shape == (2, summary["s"]) and np.isfinite(pred).all()
 
 
 def test_predictor_guards_unit_norm_resolution_mismatch():
@@ -82,6 +109,28 @@ def test_predictor_guards_unit_norm_resolution_mismatch():
     coarse = fields["coeff"][:, ::2, ::2]
     with pytest.raises(ValueError, match="training"):
         pred.predict(coarse)
+
+
+def test_run_figures_profile_curves(tmp_path, capsys):
+    """`cli run --figures/--profile/--curves` emit per-run artifacts:
+    worst/median/best triptychs (reference visual-inspection parity,
+    UAI1_full_resolution.py:335-461), a jax.profiler trace, and
+    epoch-indexed error-curve files."""
+    figs = str(tmp_path / "figs")
+    prof = str(tmp_path / "prof")
+    curves = str(tmp_path / "curves")
+    rc = main(["run", "neurips1_gkn", "--smoke", "--figures", figs,
+               "--profile", prof, "--curves", curves])
+    assert rc == 0
+    capsys.readouterr()
+    pngs = sorted(os.listdir(figs))
+    assert [p.split("_")[-1] for p in pngs] == \
+        ["best.png", "median.png", "worst.png"]
+    assert os.listdir(prof), "no profiler trace captured"
+    train = np.loadtxt(os.path.join(curves, "neurips1_gkn_train_l2.txt"))
+    test = np.loadtxt(os.path.join(curves, "neurips1_gkn_test_l2.txt"))
+    assert train.shape[1] == 2 and test.shape[1] == 2
+    assert train[0, 0] == 1.0  # epoch column
 
 
 def test_sweep_cli_smoke_respects_axis(tmp_path, capsys):

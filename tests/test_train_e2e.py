@@ -146,8 +146,16 @@ def test_fit_multi_epoch_chunks(darcy_fields):
     r1 = fit(task, params, train_g, tc1, test_data=train_g)
     r4 = fit(task, params, train_g, tc4, test_data=train_g)
     assert len(r4.train_l2) == 10 and len(r4.epoch_times) == 10
-    # test eval at chunk boundaries only: ceil(10/4) = 3 entries
+    # test eval at chunk boundaries only: ceil(10/4) = 3 entries —
+    # test_epochs carries the boundary indices so consumers can align
+    # the two histories (zipping blindly would mis-pair silently)
     assert len(r4.test_l2) == 3
+    assert r4.test_epochs == [4, 8, 10]
+    assert r1.test_epochs == list(range(1, 11))
+    # aligned curves for savetxt export carry epoch columns
+    train_curve, test_curve = r4.curves()
+    assert train_curve.shape == (10, 2) and test_curve.shape == (3, 2)
+    np.testing.assert_array_equal(test_curve[:, 0], [4, 8, 10])
     # same optimization problem, different shuffle RNG: end-of-training
     # error must agree to ~20% relative
     assert abs(r4.train_l2[-1] - r1.train_l2[-1]) < 0.2 * r1.train_l2[-1]
