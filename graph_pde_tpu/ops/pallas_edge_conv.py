@@ -147,6 +147,92 @@ def _fwd_kernel(in_channels, out_channels, n_small, chunk, dtype, *refs):
                        dtype)
 
 
+# -------------------------------- Wl-resident variants (single E grid)
+#
+# When the whole last-layer weight fits VMEM (kw_last * c_total at the
+# compute dtype — e.g. [256, 4096] bf16 = 2 MB), streaming it in column
+# chunks across a second grid axis is pure overhead: the same chunk is
+# re-fetched for every edge block (grid order (ei, ci) re-DMAs ~n_chunks
+# * E/block_e * chunk_bytes per conv) and the revisited accumulator
+# output adds per-step bookkeeping. These variants keep Wl resident
+# (constant index_map -> fetched once), iterate chunks in an unrolled
+# in-kernel loop, and run a single parallel E grid axis. Measured at
+# E=1.2M, kw=256, c=4096 (scripts/fused_tune.py, v5e): fwd 33.4 ->
+# 32.3 ms, fwd+bwd 135.5 -> 131.4 ms (PERF_NOTES round 3).
+
+def _fwd_kernel_res(in_channels, out_channels, n_small, chunk, n_chunks,
+                    dtype, *refs):
+    x_ref, a_ref = refs[0], refs[1]
+    wb_small = refs[2: 2 + 2 * n_small]
+    wl_ref = refs[2 + 2 * n_small]
+    bl_ref = refs[3 + 2 * n_small]
+    msg_ref = refs[4 + 2 * n_small]
+
+    h = _small_forward(a_ref[:], wb_small, n_small, dtype)
+    sel_dtype = dtype or jnp.float32
+    qt = _sel_qt(out_channels, chunk, sel_dtype)
+    acc = jnp.zeros_like(msg_ref)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        h3c = _dot(h, wl_ref[:, c0: c0 + chunk], dtype) \
+            + bl_ref[:, c0: c0 + chunk]
+        xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0,
+                                     chunk, sel_dtype), dtype)
+        acc += _dot(h3c * xrep, qt, dtype)
+    msg_ref[:] = acc
+
+
+def _bwd_dx_kernel_res(in_channels, out_channels, chunk, n_chunks,
+                       dtype, *refs):
+    h2_ref, x_ref, g_ref, wl_ref = refs[:4]
+    dx_ref, dh_ref = refs[4:]
+
+    sel_dtype = dtype or jnp.float32
+    g = g_ref[:]
+    grep = _tile_lanes(g, chunk // out_channels)
+    dx = jnp.zeros_like(dx_ref)
+    dh = jnp.zeros_like(dh_ref)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        wl_c = wl_ref[:, c0: c0 + chunk]
+        h3c = _dot(h2_ref[:], wl_c, dtype)
+        dx += _dot(h3c * grep,
+                   _sel_p(in_channels, out_channels, c0, chunk,
+                          sel_dtype, transpose=True), dtype)
+        xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0,
+                                     chunk, sel_dtype), dtype)
+        dh += _dot_general(xrep * grep, wl_c, (((1,), (1,)), ((), ())),
+                           dtype)
+    dx_ref[:] = dx
+    dh_ref[:] = dh
+
+
+def _bwd_dw_kernel_res(in_channels, out_channels, chunk, n_chunks,
+                       dtype, *refs):
+    h2_ref, x_ref, g_ref = refs[:3]
+    dwl_ref, dbl_ref = refs[3:]
+
+    ei = pl.program_id(0)
+    sel_dtype = dtype or jnp.float32
+    g = g_ref[:]
+    grep = _tile_lanes(g, chunk // out_channels)
+
+    @pl.when(ei == 0)
+    def _():
+        dwl_ref[:] = jnp.zeros_like(dwl_ref)
+        dbl_ref[:] = jnp.zeros_like(dbl_ref)
+
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        xrep = _dot(x_ref[:], _sel_p(in_channels, out_channels, c0,
+                                     chunk, sel_dtype), dtype)
+        dpre = xrep * grep
+        dwl_ref[:, c0: c0 + chunk] += _dot_general(
+            h2_ref[:], dpre, (((0,), (0,)), ((), ())), dtype)
+        dbl_ref[:, c0: c0 + chunk] += jnp.sum(dpre, axis=0,
+                                              keepdims=True)
+
+
 # ------------------------------------------- backward kernel 1: dx, dh2
 
 def _bwd_dx_kernel(in_channels, out_channels, chunk, dtype, *refs):
@@ -216,7 +302,7 @@ def _pad_e(arr, e_pad):
 @functools.lru_cache(maxsize=64)
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                   dtype_name, interpret, chunk=None,
-                  dim_semantics=True):
+                  dim_semantics=True, resident=False):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -257,11 +343,50 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         return pl.BlockSpec((block_e, w), lambda ei, ci: (ei, 0),
                             memory_space=pltpu.VMEM)
 
+    def edge_spec1(w):
+        return pl.BlockSpec((block_e, w), lambda ei: (ei, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec1(i, o):
+        return pl.BlockSpec((i, o), lambda ei: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def small_weight_specs1():
+        specs = []
+        for (i, o) in layer_dims[:-1]:
+            specs.append(const_spec1(i, o))
+            specs.append(const_spec1(1, o))
+        return specs
+
+    def params1(parallel=True):
+        if interpret or not dim_semantics:
+            return None
+        sem = (pltpu.GridDimensionSemantics.PARALLEL if parallel
+               else pltpu.GridDimensionSemantics.ARBITRARY,)
+        return pltpu.CompilerParams(dimension_semantics=sem)
+
     def fwd_impl(x_src, attr, flat):
         e = x_src.shape[0]
         e_pad = ((e + block_e - 1) // block_e) * block_e
         xs = _pad_e(x_src, e_pad)
         at = _pad_e(attr, e_pad)
+        if resident:
+            kernel = functools.partial(_fwd_kernel_res, in_channels,
+                                       out_channels, n_small, chunk,
+                                       n_chunks, dtype)
+            msg = pl.pallas_call(
+                kernel,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(in_channels), edge_spec1(a_dim)]
+                + small_weight_specs1()
+                + [const_spec1(kw_last, c_total), const_spec1(1, c_total)],
+                out_specs=edge_spec1(out_channels),
+                out_shape=jax.ShapeDtypeStruct((e_pad, out_channels),
+                                               jnp.float32),
+                interpret=interpret,
+                compiler_params=params1(parallel=True),
+            )(xs, at, *flat)
+            return msg[:e]
         grid = (e_pad // block_e, n_chunks)
         kernel = functools.partial(_fwd_kernel, in_channels, out_channels,
                                    n_small, chunk, dtype)
@@ -289,6 +414,45 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         h2p = _pad_e(h2, e_pad)
         xs = _pad_e(x_src, e_pad)
         gp = _pad_e(g, e_pad)
+
+        if resident:
+            k1 = functools.partial(_bwd_dx_kernel_res, in_channels,
+                                   out_channels, chunk, n_chunks, dtype)
+            dx, dh2 = pl.pallas_call(
+                k1,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(kw_last), edge_spec1(in_channels),
+                          edge_spec1(out_channels),
+                          const_spec1(kw_last, c_total)],
+                out_specs=[edge_spec1(in_channels), edge_spec1(kw_last)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((e_pad, in_channels),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((e_pad, kw_last), jnp.float32),
+                ],
+                interpret=interpret,
+                compiler_params=params1(parallel=True),
+            )(h2p, xs, gp, w_last)
+
+            k2 = functools.partial(_bwd_dw_kernel_res, in_channels,
+                                   out_channels, chunk, n_chunks, dtype)
+            dwl, dbl = pl.pallas_call(
+                k2,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(kw_last), edge_spec1(in_channels),
+                          edge_spec1(out_channels)],
+                out_specs=[const_spec1(kw_last, c_total),
+                           const_spec1(1, c_total)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((kw_last, c_total), jnp.float32),
+                    jax.ShapeDtypeStruct((1, c_total), jnp.float32),
+                ],
+                interpret=interpret,
+                # the dwl/dbl outputs accumulate across E steps — the
+                # axis must stay sequential
+                compiler_params=params1(parallel=False),
+            )(h2p, xs, gp)
+            return dwl, dbl, dx[:e], dh2[:e]
 
         # kernel 1: dx, dh2 (grid E x C, chunk accumulation)
         k1 = functools.partial(_bwd_dx_kernel, in_channels, out_channels,
@@ -387,10 +551,15 @@ def _flatten_params(kernel_params):
     return flat
 
 
+# Wl-resident auto gate: the full last-layer weight must leave VMEM
+# room for the per-block working set (f32 input block + intermediates)
+_RESIDENT_WL_MAX_BYTES = 6 * 1024 * 1024
+
+
 def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
-                        chunk=None, dim_semantics=True,
+                        chunk=None, dim_semantics=True, resident=None,
                         interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
@@ -404,17 +573,52 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     assert fused_path_supported(kernel_params, in_channels, out_channels), \
         "fused path unsupported for this kernel shape; use impl='scan'"
     dims = _layer_dims(kernel_params)
-    if block_e is None:
+    if resident is None:
+        # measured faster whenever Wl fits (scripts/fused_tune.py,
+        # PERF_NOTES round 3): one weight fetch total instead of one
+        # chunk re-stream per edge block, single parallel E grid axis
+        resident = dims[-1][0] * dims[-1][1] * 4 <= _RESIDENT_WL_MAX_BYTES
+    kw_last, c_total = dims[-1]
+    auto_chunk = chunk is None
+    auto_block = block_e is None
+    if resident and auto_chunk:
+        # measured best at uai4 scale (fused_tune round 3): small chunks
+        # win once Wl is resident — the chunk loop is in-kernel, so
+        # smaller h3c/xrep tiles leave VMEM room for bigger edge blocks
+        chunk = max(out_channels, min(512, c_total))
+        while c_total % chunk or chunk % out_channels:
+            chunk -= out_channels
+    if auto_block:
         # larger edge blocks amortize grid-step overhead; shrink as the
         # streamed weight chunk and block activations grow
-        kw_last = dims[-1][0]
         block_e = 1024 if kw_last <= 256 else (
             512 if kw_last <= 512 else 256)
+    if resident and not interpret and (auto_chunk or auto_block):
+        # Mosaic VMEM fit (v5e: 16 MB/core): resident Wl (f32) + the
+        # two [block_e, chunk] f32 working tiles (h3c, xrep) + double
+        # buffering must fit; combos beyond this bound failed to
+        # compile in the round-3 sweep (be=1024/ch>=1024, be=512/
+        # ch=2048). Shrink chunk first (in-kernel loop, cheap), then
+        # block_e. Explicitly-passed knobs are honored as-is
+        # (measurement scripts need true failures, not silent refits).
+        def _fits(be, ch):
+            return kw_last * c_total * 4 + 3 * be * ch * 4 \
+                <= 12 * 1024 * 1024
+        eff_chunk = chunk if chunk is not None else min(C_CHUNK, c_total)
+        while auto_chunk and not _fits(block_e, eff_chunk) \
+                and eff_chunk > out_channels \
+                and (eff_chunk // 2) % out_channels == 0 \
+                and c_total % (eff_chunk // 2) == 0:
+            eff_chunk //= 2
+        while auto_block and not _fits(block_e, eff_chunk) \
+                and block_e > 256:
+            block_e //= 2
+        chunk = eff_chunk
     dtype_name = "bfloat16" if compute_dtype in ("bfloat16", jnp.bfloat16) \
         else None
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
                           dtype_name, interpret, chunk=chunk,
-                          dim_semantics=dim_semantics)
+                          dim_semantics=dim_semantics, resident=resident)
     from .segment import gather_rows
 
     flat = tuple(_flatten_params(kernel_params))

@@ -58,24 +58,30 @@ def main():
         return dt1 * 1000 / iters
 
     results = {}
-    combos = [(be, ch, ds)
+    combos = [(be, ch, ds, False)
               for be in ((512, 1024) if args.quick
                          else (256, 512, 1024, 2048))
               for ch in ((1024, 2048) if args.quick
                          else (1024, 2048, 4096))
               for ds in (True, False)]
-    for block_e, chunk, ds in combos:
+    # Wl-resident variants (whole last layer in VMEM, single E grid)
+    combos += [(be, ch, True, True)
+               for be in (256, 512, 1024)
+               for ch in (512, 1024, 2048)]
+    for block_e, chunk, ds, res in combos:
         if chunk > w * w:
             continue
-        label = f"be={block_e} ch={chunk} ds={int(ds)}"
+        label = (f"be={block_e} ch={chunk} ds={int(ds)}"
+                 + (" RES" if res else ""))
 
         def fwd_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                     _ds=ds):
+                     _ds=ds, _res=res):
             def body(carry, _):
                 msg = fused_edge_messages(
                     carry, senders, attr, kp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
-                    block_e=_be, chunk=_ch, dim_semantics=_ds)
+                    block_e=_be, chunk=_ch, dim_semantics=_ds,
+                    resident=_res)
                 # carry a dependency: fold messages back into x
                 nxt = carry + 1e-12 * msg[: carry.shape[0]]
                 return nxt, ()
@@ -84,12 +90,13 @@ def main():
             return out
 
         def step_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                      _ds=ds):
+                      _ds=ds, _res=res):
             def one(xx, kpp):
                 msg = fused_edge_messages(
                     xx, senders, attr, kpp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
-                    block_e=_be, chunk=_ch, dim_semantics=_ds)
+                    block_e=_be, chunk=_ch, dim_semantics=_ds,
+                    resident=_res)
                 return jnp.sum(msg * msg)
 
             def body(carry, _):

@@ -137,3 +137,38 @@ def test_cached_contraction_parity():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_fused_resident_and_streamed_match():
+    """Both Wl layouts — resident (whole last layer in VMEM, single E
+    grid) and streamed (column chunks on a second grid axis) — must
+    agree with the reference on values AND gradients; the auto gate
+    routes by Wl size, so both are pinned here explicitly."""
+    w = 16
+    x, senders, attr, kparams = _setup(e=256, w=w, seed=7)
+    ref = _ref_messages(x, senders, attr, kparams, w)
+    for resident in (True, False):
+        out = fused_edge_messages(x, senders, attr, kparams,
+                                  in_channels=w, out_channels=w,
+                                  interpret=True, resident=resident)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-5,
+                                   err_msg=f"resident={resident}")
+
+        def loss(x, attr, kp, _r=resident):
+            msg = fused_edge_messages(x, senders, attr, kp,
+                                      in_channels=w, out_channels=w,
+                                      interpret=True, resident=_r)
+            return jnp.sum(jnp.sin(msg) * msg)
+
+        def loss_ref(x, attr, kp):
+            msg = _ref_messages(x, senders, attr, kp, w)
+            return jnp.sum(jnp.sin(msg) * msg)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(x, attr, kparams)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, attr, kparams)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"resident={resident}")
