@@ -233,6 +233,124 @@ def _bwd_dw_kernel_res(in_channels, out_channels, chunk, n_chunks,
                                               keepdims=True)
 
 
+# ----------------------------- o-major layout variants (single E grid)
+#
+# i-major (reference layout, nn_conv.py:274 view(-1, in, out)): column
+# c = i*out + o. The contraction then needs TWO selector GEMMs per
+# direction (Xrep interleave + QT strided-sum fwd; their transposes
+# bwd), each contracting over only w=64 rows — half-rate on the
+# 128-wide MXU and ~38% of the kernels' MXU cycles.
+#
+# o-major: permute Wl/bl columns ONCE per call in XLA (cheap [kw, c]
+# gather) so column c' = o*in + i. Then within an in-aligned chunk:
+#   Xrep' = tile(x)                  (free lane concat, no GEMM)
+#   Grep' = per-o lane broadcasts    (free VPU, no GEMM)
+#   msg   = (h3c' * Xrep') @ QTo     (QTo[cc,o] = ((c0+cc)//in == o))
+#   dx   += contiguous in-wide slice adds of h3c' * Grep'  (VPU)
+# MXU cycles per chunk column drop from ~1664 to ~1152 (fwd 512->384,
+# bwd-dx 768->512, bwd-dw 384->256, in B*chunk units with kw=256,
+# w=64); every surviving GEMM contracts over >=chunk or kw depth.
+# Weight grads come back o-major and are un-permuted in XLA.
+
+def _omajor_perm(in_channels, out_channels):
+    """perm[c'] = source column of o-major column c' (= i*out + o)."""
+    c = in_channels * out_channels
+    cp = np.arange(c)
+    return (cp % in_channels) * out_channels + cp // in_channels
+
+
+def _interleave_bcast(g, o0, noc, in_channels):
+    """[blk, out] -> [blk, noc*in]: column o0+oo broadcast in-wide."""
+    parts = [jnp.broadcast_to(g[:, o0 + oo: o0 + oo + 1],
+                              (g.shape[0], in_channels))
+             for oo in range(noc)]
+    return parts[0] if noc == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _sel_qt_omj(in_channels, out_channels, c0, chunk, dtype):
+    """QTo[cc, o] = ((c0 + cc) // in_channels == o)."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, out_channels), 1)
+    return ((c0 + cc) // in_channels == cols).astype(dtype)
+
+
+def _fwd_kernel_omj(in_channels, out_channels, n_small, chunk, n_chunks,
+                    dtype, *refs):
+    x_ref, a_ref = refs[0], refs[1]
+    wb_small = refs[2: 2 + 2 * n_small]
+    wl_ref = refs[2 + 2 * n_small]
+    bl_ref = refs[3 + 2 * n_small]
+    msg_ref = refs[4 + 2 * n_small]
+
+    h = _small_forward(a_ref[:], wb_small, n_small, dtype)
+    sel_dtype = dtype or jnp.float32
+    xrep = _tile_lanes(x_ref[:], chunk // in_channels)
+    if dtype is not None:
+        xrep = xrep.astype(dtype)
+    acc = jnp.zeros_like(msg_ref)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        h3c = _dot(h, wl_ref[:, c0: c0 + chunk], dtype) \
+            + bl_ref[:, c0: c0 + chunk]
+        acc += _dot(h3c * xrep,
+                    _sel_qt_omj(in_channels, out_channels, c0, chunk,
+                                sel_dtype), dtype)
+    msg_ref[:] = acc
+
+
+def _bwd_dx_kernel_omj(in_channels, out_channels, chunk, n_chunks,
+                       dtype, *refs):
+    h2_ref, x_ref, g_ref, wl_ref = refs[:4]
+    dx_ref, dh_ref = refs[4:]
+
+    noc = chunk // in_channels
+    g = g_ref[:]
+    xrep = _tile_lanes(x_ref[:], noc)
+    if dtype is not None:
+        xrep = xrep.astype(dtype)
+    dx = jnp.zeros_like(dx_ref)
+    dh = jnp.zeros_like(dh_ref)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        grep = _interleave_bcast(g, c0 // in_channels, noc, in_channels)
+        wl_c = wl_ref[:, c0: c0 + chunk]
+        h3c = _dot(h2_ref[:], wl_c, dtype)
+        v = h3c * grep
+        for oo in range(noc):
+            dx += v[:, oo * in_channels: (oo + 1) * in_channels]
+        dh += _dot_general(xrep * grep, wl_c, (((1,), (1,)), ((), ())),
+                           dtype)
+    dx_ref[:] = dx
+    dh_ref[:] = dh
+
+
+def _bwd_dw_kernel_omj(in_channels, out_channels, chunk, n_chunks,
+                       dtype, *refs):
+    h2_ref, x_ref, g_ref = refs[:3]
+    dwl_ref, dbl_ref = refs[3:]
+
+    ei = pl.program_id(0)
+    noc = chunk // in_channels
+    g = g_ref[:]
+    xrep = _tile_lanes(x_ref[:], noc)
+    if dtype is not None:
+        xrep = xrep.astype(dtype)
+
+    @pl.when(ei == 0)
+    def _():
+        dwl_ref[:] = jnp.zeros_like(dwl_ref)
+        dbl_ref[:] = jnp.zeros_like(dbl_ref)
+
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        grep = _interleave_bcast(g, c0 // in_channels, noc, in_channels)
+        dpre = xrep * grep
+        dwl_ref[:, c0: c0 + chunk] += _dot_general(
+            h2_ref[:], dpre, (((0,), (0,)), ((), ())), dtype)
+        dbl_ref[:, c0: c0 + chunk] += jnp.sum(dpre, axis=0,
+                                              keepdims=True)
+
+
 # ------------------------------------------- backward kernel 1: dx, dh2
 
 def _bwd_dx_kernel(in_channels, out_channels, chunk, dtype, *refs):
@@ -302,7 +420,7 @@ def _pad_e(arr, e_pad):
 @functools.lru_cache(maxsize=64)
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                   dtype_name, interpret, chunk=None,
-                  dim_semantics=True, resident=False):
+                  dim_semantics=True, resident=False, layout="i"):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -311,6 +429,11 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
     if chunk is None:
         chunk = min(C_CHUNK, c_total)
     assert c_total % chunk == 0 and chunk % out_channels == 0
+    if layout == "o":
+        # o-major chunks must cover whole out-blocks (in-aligned)
+        assert chunk % in_channels == 0
+        perm = _omajor_perm(in_channels, out_channels)
+        inv_perm = np.argsort(perm)
     n_chunks = c_total // chunk
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
 
@@ -370,6 +493,25 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         e_pad = ((e + block_e - 1) // block_e) * block_e
         xs = _pad_e(x_src, e_pad)
         at = _pad_e(attr, e_pad)
+        if layout == "o":
+            wlp = flat[2 * n_small][:, perm]
+            blp = flat[2 * n_small + 1][:, perm]
+            kernel = functools.partial(_fwd_kernel_omj, in_channels,
+                                       out_channels, n_small, chunk,
+                                       n_chunks, dtype)
+            msg = pl.pallas_call(
+                kernel,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(in_channels), edge_spec1(a_dim)]
+                + small_weight_specs1()
+                + [const_spec1(kw_last, c_total), const_spec1(1, c_total)],
+                out_specs=edge_spec1(out_channels),
+                out_shape=jax.ShapeDtypeStruct((e_pad, out_channels),
+                                               jnp.float32),
+                interpret=interpret,
+                compiler_params=params1(parallel=True),
+            )(xs, at, *flat[: 2 * n_small], wlp, blp)
+            return msg[:e]
         if resident:
             kernel = functools.partial(_fwd_kernel_res, in_channels,
                                        out_channels, n_small, chunk,
@@ -414,6 +556,46 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         h2p = _pad_e(h2, e_pad)
         xs = _pad_e(x_src, e_pad)
         gp = _pad_e(g, e_pad)
+
+        if layout == "o":
+            wlp = w_last[:, perm]
+            k1 = functools.partial(_bwd_dx_kernel_omj, in_channels,
+                                   out_channels, chunk, n_chunks, dtype)
+            dx, dh2 = pl.pallas_call(
+                k1,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(kw_last), edge_spec1(in_channels),
+                          edge_spec1(out_channels),
+                          const_spec1(kw_last, c_total)],
+                out_specs=[edge_spec1(in_channels), edge_spec1(kw_last)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((e_pad, in_channels),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((e_pad, kw_last), jnp.float32),
+                ],
+                interpret=interpret,
+                compiler_params=params1(parallel=True),
+            )(h2p, xs, gp, wlp)
+
+            k2 = functools.partial(_bwd_dw_kernel_omj, in_channels,
+                                   out_channels, chunk, n_chunks, dtype)
+            dwl_p, dbl_p = pl.pallas_call(
+                k2,
+                grid=(e_pad // block_e,),
+                in_specs=[edge_spec1(kw_last), edge_spec1(in_channels),
+                          edge_spec1(out_channels)],
+                out_specs=[const_spec1(kw_last, c_total),
+                           const_spec1(1, c_total)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((kw_last, c_total), jnp.float32),
+                    jax.ShapeDtypeStruct((1, c_total), jnp.float32),
+                ],
+                interpret=interpret,
+                # accumulates across E steps — axis must stay sequential
+                compiler_params=params1(parallel=False),
+            )(h2p, xs, gp)
+            # weight grads come back in o-major columns; un-permute
+            return dwl_p[:, inv_perm], dbl_p[:, inv_perm], dx[:e], dh2[:e]
 
         if resident:
             k1 = functools.partial(_bwd_dx_kernel_res, in_channels,
@@ -560,13 +742,17 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
-                        interpret=None):
+                        layout=None, interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
 
     interpret=None (default) auto-selects: Mosaic on TPU, the pallas
     interpreter elsewhere (CPU tests / virtual meshes) — Mosaic is
     TPU-only and pallas_call hard-errors on the CPU backend otherwise.
+
+    layout: 'i' (reference i-major columns) or 'o' (o-major: Wl columns
+    permuted once per call in XLA so both broadcast patterns are free
+    VPU ops — see the o-major section above). None auto-selects.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -578,21 +764,37 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
         # PERF_NOTES round 3): one weight fetch total instead of one
         # chunk re-stream per edge block, single parallel E grid axis
         resident = dims[-1][0] * dims[-1][1] * 4 <= _RESIDENT_WL_MAX_BYTES
+    if layout is None:
+        # o-major measured fastest wherever it applies (round-3 sweep:
+        # fwd 32.3 -> 26.1 ms, fwd+bwd 131.4 -> 118.0 ms at E=1.2M)
+        layout = "o" if resident else "i"
+    if layout == "o" and not resident:
+        # o-major is implemented on the resident-Wl form only
+        layout = "i"
     kw_last, c_total = dims[-1]
     auto_chunk = chunk is None
     auto_block = block_e is None
+    if layout == "o" and not auto_chunk and chunk % in_channels:
+        layout = "i"
     if resident and auto_chunk:
         # measured best at uai4 scale (fused_tune round 3): small chunks
         # win once Wl is resident — the chunk loop is in-kernel, so
         # smaller h3c/xrep tiles leave VMEM room for bigger edge blocks
-        chunk = max(out_channels, min(512, c_total))
-        while c_total % chunk or chunk % out_channels:
-            chunk -= out_channels
+        align = out_channels if layout == "i" \
+            else int(np.lcm(in_channels, out_channels))
+        chunk = max(align, min(512, c_total))
+        while c_total % chunk or chunk % align:
+            chunk -= align
     if auto_block:
         # larger edge blocks amortize grid-step overhead; shrink as the
-        # streamed weight chunk and block activations grow
+        # streamed weight chunk and block activations grow. o-major
+        # holds the [block_e, chunk] tile pattern alongside the chunk
+        # loop's working tiles — be=1024 fails Mosaic at this shape
+        # (round-3 sweep) and be=512 measured best anyway.
         block_e = 1024 if kw_last <= 256 else (
             512 if kw_last <= 512 else 256)
+        if layout == "o":
+            block_e = min(block_e, 512)
     if resident and not interpret and (auto_chunk or auto_block):
         # Mosaic VMEM fit (v5e: 16 MB/core): resident Wl (f32) + the
         # two [block_e, chunk] f32 working tiles (h3c, xrep) + double
@@ -605,9 +807,11 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
             return kw_last * c_total * 4 + 3 * be * ch * 4 \
                 <= 12 * 1024 * 1024
         eff_chunk = chunk if chunk is not None else min(C_CHUNK, c_total)
+        shrink_align = out_channels if layout == "i" \
+            else int(np.lcm(in_channels, out_channels))
         while auto_chunk and not _fits(block_e, eff_chunk) \
-                and eff_chunk > out_channels \
-                and (eff_chunk // 2) % out_channels == 0 \
+                and eff_chunk > shrink_align \
+                and (eff_chunk // 2) % shrink_align == 0 \
                 and c_total % (eff_chunk // 2) == 0:
             eff_chunk //= 2
         while auto_block and not _fits(block_e, eff_chunk) \
@@ -618,7 +822,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
         else None
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
                           dtype_name, interpret, chunk=chunk,
-                          dim_semantics=dim_semantics, resident=resident)
+                          dim_semantics=dim_semantics, resident=resident,
+                          layout=layout)
     from .segment import gather_rows
 
     flat = tuple(_flatten_params(kernel_params))

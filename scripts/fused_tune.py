@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--ker-width", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--omajor", action="store_true",
+                    help="o-major layout arms vs resident i-major best")
     args = ap.parse_args()
 
     import jax
@@ -58,30 +60,37 @@ def main():
         return dt1 * 1000 / iters
 
     results = {}
-    combos = [(be, ch, ds, False)
-              for be in ((512, 1024) if args.quick
-                         else (256, 512, 1024, 2048))
-              for ch in ((1024, 2048) if args.quick
-                         else (1024, 2048, 4096))
-              for ds in (True, False)]
-    # Wl-resident variants (whole last layer in VMEM, single E grid)
-    combos += [(be, ch, True, True)
-               for be in (256, 512, 1024)
-               for ch in (512, 1024, 2048)]
-    for block_e, chunk, ds, res in combos:
+    if args.omajor:
+        # o-major layout arms (resident) vs the round-3 resident best
+        combos = [(512, 1024, True, True, "i"), (1024, 512, True, True, "i")]
+        combos += [(be, ch, True, True, "o")
+                   for be in (256, 512, 1024)
+                   for ch in (256, 512, 1024)]
+    else:
+        combos = [(be, ch, ds, False, "i")
+                  for be in ((512, 1024) if args.quick
+                             else (256, 512, 1024, 2048))
+                  for ch in ((1024, 2048) if args.quick
+                             else (1024, 2048, 4096))
+                  for ds in (True, False)]
+        # Wl-resident variants (whole last layer in VMEM, single E grid)
+        combos += [(be, ch, True, True, "i")
+                   for be in (256, 512, 1024)
+                   for ch in (512, 1024, 2048)]
+    for block_e, chunk, ds, res, lay in combos:
         if chunk > w * w:
             continue
         label = (f"be={block_e} ch={chunk} ds={int(ds)}"
-                 + (" RES" if res else ""))
+                 + (" RES" if res else "") + (" OMJ" if lay == "o" else ""))
 
         def fwd_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                     _ds=ds, _res=res):
+                     _ds=ds, _res=res, _lay=lay):
             def body(carry, _):
                 msg = fused_edge_messages(
                     carry, senders, attr, kp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
                     block_e=_be, chunk=_ch, dim_semantics=_ds,
-                    resident=_res)
+                    resident=_res, layout=_lay)
                 # carry a dependency: fold messages back into x
                 nxt = carry + 1e-12 * msg[: carry.shape[0]]
                 return nxt, ()
@@ -90,13 +99,13 @@ def main():
             return out
 
         def step_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                      _ds=ds, _res=res):
+                      _ds=ds, _res=res, _lay=lay):
             def one(xx, kpp):
                 msg = fused_edge_messages(
                     xx, senders, attr, kpp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
                     block_e=_be, chunk=_ch, dim_semantics=_ds,
-                    resident=_res)
+                    resident=_res, layout=_lay)
                 return jnp.sum(msg * msg)
 
             def body(carry, _):

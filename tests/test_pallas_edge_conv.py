@@ -139,26 +139,29 @@ def test_cached_contraction_parity():
                                    rtol=5e-4, atol=1e-5)
 
 
-def test_fused_resident_and_streamed_match():
-    """Both Wl layouts — resident (whole last layer in VMEM, single E
-    grid) and streamed (column chunks on a second grid axis) — must
-    agree with the reference on values AND gradients; the auto gate
-    routes by Wl size, so both are pinned here explicitly."""
+def test_fused_variants_match():
+    """All three kernel forms — streamed (column chunks on a second
+    grid axis), Wl-resident (whole last layer in VMEM, single E grid),
+    and o-major (permuted Wl columns, selector-free broadcasts) — must
+    agree with the reference on values AND gradients; the auto gates
+    route by Wl size/alignment, so each is pinned here explicitly."""
     w = 16
     x, senders, attr, kparams = _setup(e=256, w=w, seed=7)
     ref = _ref_messages(x, senders, attr, kparams, w)
-    for resident in (True, False):
+    variants = [dict(resident=True), dict(resident=False),
+                dict(resident=True, layout="o")]
+    for kw in variants:
         out = fused_edge_messages(x, senders, attr, kparams,
                                   in_channels=w, out_channels=w,
-                                  interpret=True, resident=resident)
+                                  interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=1e-5,
-                                   err_msg=f"resident={resident}")
+                                   err_msg=f"variant={kw}")
 
-        def loss(x, attr, kp, _r=resident):
+        def loss(x, attr, kp, _kw=kw):
             msg = fused_edge_messages(x, senders, attr, kp,
                                       in_channels=w, out_channels=w,
-                                      interpret=True, resident=_r)
+                                      interpret=True, **_kw)
             return jnp.sum(jnp.sin(msg) * msg)
 
         def loss_ref(x, attr, kp):
@@ -171,4 +174,4 @@ def test_fused_resident_and_streamed_match():
                         jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-5,
-                                       err_msg=f"resident={resident}")
+                                       err_msg=f"variant={kw}")
