@@ -39,6 +39,15 @@ def _sorted_span_flag(receivers_padded: np.ndarray, limit: int = 64) -> int:
     return limit if span <= limit else 0
 
 
+def _sender_sort(senders_padded: np.ndarray):
+    """Sender-sort permutation + verified span for the scatter-free
+    conv backward (Graph.sender_perm/sender_span); (None, 0) when the
+    span bound fails (e.g. hub nodes interleaved with 0-degree runs)."""
+    perm = np.argsort(senders_padded, kind="stable").astype(np.int32)
+    span = _sorted_span_flag(senders_padded[perm])
+    return (perm, span) if span else (None, 0)
+
+
 @struct.dataclass
 class Graph:
     """A padded, receiver-sorted edge-list graph.
@@ -78,6 +87,15 @@ class Graph:
     # scatter fallback. Static aux: set at build, recomputed on repad,
     # harmonized (min) across a stack.
     sorted_span: int = struct.field(pytree_node=False, default=0)
+    # Scatter-free conv backward (ops/segment.py gather_rows_st):
+    # sender_perm sorts the padded edge array by sender; sender_span is
+    # the host-verified block span bound of that sorted stream. The
+    # gather x[senders]'s transpose then routes through the block-local
+    # one-hot reduce instead of XLA's serialized scatter-add (isolated
+    # 35.9 -> 20.0 ms at E=1.2M; ~3 ms/conv in situ — PERF_NOTES
+    # round 3). None/0 = fall back to the scatter.
+    sender_perm: Optional[jnp.ndarray] = None
+    sender_span: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -177,9 +195,11 @@ def build_graph(
         xp[:n] = x
         yp = _pad_y(y, n_pad)
         sip = _pad_sample_idx(sample_idx, n_pad)
+        sperm, sspan = _sender_sort(sp)
         return Graph(x=xp, senders=sp, receivers=rp, edge_attr=ap,
                      n_node=np.int32(n), n_edge=np.int32(e), y=yp,
-                     sample_idx=sip, edge_valid=ev, node_block=node_block)
+                     sample_idx=sip, edge_valid=ev, node_block=node_block,
+                     sender_perm=sperm, sender_span=sspan)
 
     e_pad = (n_edge_pad if n_edge_pad is not None
              else round_up(max(e, 1), edge_multiple))
@@ -197,6 +217,7 @@ def build_graph(
     yp = _pad_y(y, n_pad)
     sip = _pad_sample_idx(sample_idx, n_pad)
 
+    sperm, sspan = _sender_sort(sp)
     return Graph(
         x=xp,
         senders=sp,
@@ -207,6 +228,8 @@ def build_graph(
         y=yp,
         sample_idx=sip,
         sorted_span=_sorted_span_flag(rp),
+        sender_perm=sperm,
+        sender_span=sspan,
     )
 
 
@@ -390,11 +413,16 @@ def stack_graphs(graphs) -> Graph:
 
     graphs = list(graphs)
     if graphs and isinstance(graphs[0], Graph):
-        # static aux must match across the stack; the span bound only
-        # holds for the batch if it holds for every member
+        # static aux must match across the stack; the span bounds only
+        # hold for the batch if they hold for every member
         span = min(g.sorted_span for g in graphs)
-        graphs = [g.replace(sorted_span=span) if g.sorted_span != span
-                  else g for g in graphs]
+        sspan = min(g.sender_span for g in graphs)
+        graphs = [
+            g.replace(sorted_span=span, sender_span=sspan,
+                      sender_perm=g.sender_perm if sspan else None)
+            if (g.sorted_span != span or g.sender_span != sspan)
+            else g
+            for g in graphs]
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *graphs)
 
 
@@ -441,6 +469,14 @@ def flatten_stacked(g: Graph) -> Graph:
                     else g.sample_idx.reshape(b * n_pad)),
         edge_valid=ev.reshape(b * e_pad),
         sorted_span=g.sorted_span,
+        # per-graph sender perms compose: graph b's sorted senders all
+        # precede graph b+1's after the node offset, and per-graph edge
+        # capacities are 512-multiples so no block straddles a boundary
+        sender_perm=(None if g.sender_perm is None else
+                     (g.sender_perm
+                      + (jnp.arange(b, dtype=g.sender_perm.dtype)
+                         * e_pad)[:, None]).reshape(b * e_pad)),
+        sender_span=g.sender_span,
     )
 
 
@@ -460,14 +496,18 @@ def repad_edges(g: Graph, e_pad: int) -> Graph:
     n_pad = g.x.shape[0]
     receivers = np.concatenate(
         [np.asarray(g.receivers), np.full(extra, n_pad - 1, np.int32)])
+    senders = np.concatenate(
+        [np.asarray(g.senders), np.zeros(extra, np.int32)])
+    sperm, sspan = _sender_sort(senders)
     return g.replace(
-        senders=np.concatenate(
-            [np.asarray(g.senders), np.zeros(extra, np.int32)]),
+        senders=senders,
         receivers=receivers,
         edge_attr=np.concatenate(
             [np.asarray(g.edge_attr),
              np.zeros((extra, g.edge_attr.shape[1]), np.float32)]),
         sorted_span=_sorted_span_flag(receivers),
+        sender_perm=sperm,
+        sender_span=sspan,
     )
 
 

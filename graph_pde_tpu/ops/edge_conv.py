@@ -82,6 +82,7 @@ def edge_kernel_conv(
     compute_dtype=None,
     node_block: int = 0,
     sorted_span: int = 0,
+    sender_sort=None,
 ) -> jnp.ndarray:
     """Applies the edge-conditioned convolution on one padded graph.
 
@@ -110,13 +111,20 @@ def edge_kernel_conv(
         msg = fused_edge_messages(
             x, senders, edge_attr, kernel_params,
             in_channels=in_channels, out_channels=out_channels,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, sender_sort=sender_sort)
     elif impl == "scan" and kernel_type == "full" and e > chunk_size:
         msg = _scan_messages(x, senders, edge_attr, kernel_params,
                              in_channels, out_channels, chunk_size,
                              compute_dtype)
     else:
-        x_src = gather_rows(x, senders)
+        if sender_sort is not None and sender_sort[0] is not None \
+                and sender_sort[1] > 0:
+            from .segment import gather_rows_st
+
+            x_src = gather_rows_st(x, senders, sender_sort[0],
+                                   sender_sort[1])
+        else:
+            x_src = gather_rows(x, senders)
         msg = _kernel_messages(x_src, edge_attr, kernel_params, in_channels,
                                out_channels, kernel_type, compute_dtype)
 

@@ -742,7 +742,7 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
-                        layout=None, interpret=None):
+                        layout=None, sender_sort=None, interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
 
@@ -824,10 +824,15 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                           dtype_name, interpret, chunk=chunk,
                           dim_semantics=dim_semantics, resident=resident,
                           layout=layout)
-    from .segment import gather_rows
+    from .segment import gather_rows, gather_rows_st
 
     flat = tuple(_flatten_params(kernel_params))
-    x_src = gather_rows(x, senders)
+    if sender_sort is not None and sender_sort[0] is not None \
+            and sender_sort[1] > 0:
+        # scatter-free gather transpose (graph.sender_perm/sender_span)
+        x_src = gather_rows_st(x, senders, sender_sort[0], sender_sort[1])
+    else:
+        x_src = gather_rows(x, senders)
     return fused(x_src, edge_attr, flat)
 
 

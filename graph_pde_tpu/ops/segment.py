@@ -223,6 +223,59 @@ def gather_rows(x, idx, method: str = "auto"):
     return x[idx]
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_rows_st(x, senders, sender_perm, span):
+    del sender_perm, span
+    return gather_rows(x, senders)
+
+
+def _gather_rows_st_fwd(x, senders, sender_perm, span):
+    return (_gather_rows_st(x, senders, sender_perm, span),
+            (x.shape[0], senders, sender_perm))
+
+
+def _gather_rows_st_bwd(span, res, dg):
+    n, senders, sender_perm = res
+    srt = dg[sender_perm]
+    s_sorted = senders[sender_perm]
+    ones = jnp.ones((senders.shape[0],), dg.dtype)
+    dx = sorted_block_segment_reduce(srt, s_sorted, ones, n,
+                                     span=span, mean=False)
+    return dx.astype(dg.dtype), None, None
+
+
+_gather_rows_st.defvjp(_gather_rows_st_fwd, _gather_rows_st_bwd)
+
+
+def gather_rows_st(x, senders, sender_perm, sender_span: int):
+    """x[senders] whose TRANSPOSE is scatter-free.
+
+    XLA lowers the gather's backward (scatter-add of [E, w] cotangents
+    into [N, w] by sender) to a serialized random scatter — 35.9 ms
+    ISOLATED at E=1.2M vs 20.0 ms for this formulation (round-3
+    scripts/fused_bwd_breakdown.py, real v5e): permute the cotangent to
+    sender-sorted order (random row gather, 18.5 ms) then reduce with
+    the block-local one-hot machinery that already replaced the
+    receiver-side scatter (1.5 ms; sorted_block_segment_reduce).
+    IN SITU the win shrinks to ~3 ms per conv backward (118.6 ->
+    115.2 ms full fused step arm) — XLA overlaps much of the scatter
+    with surrounding work; kept as a small, parity-tested win.
+
+    Requires the builder-verified sender-sorted span bound
+    (graph.sender_perm / graph.sender_span from build_graph); callers
+    should fall back to gather_rows when sender_span == 0.
+
+    The forward value is identical to gather_rows; padding edges carry
+    zero cotangents (masked out of the loss) so no mask is needed in
+    the reduction.
+    """
+    assert sender_span > 0, "gather_rows_st needs a verified span bound"
+    return _gather_rows_st(x, senders, sender_perm, sender_span)
+
+
 __all__ = [
     "segment_sum",
     "masked_segment_sum",
@@ -231,4 +284,5 @@ __all__ = [
     "sorted_block_segment_reduce",
     "segment_degrees",
     "gather_rows",
+    "gather_rows_st",
 ]
