@@ -324,6 +324,54 @@ def _bwd_dx_kernel_omj(in_channels, out_channels, chunk, n_chunks,
     dh_ref[:] = dh
 
 
+def _bwd_merged_kernel_omj(in_channels, out_channels, chunk, n_chunks,
+                           n_blocks, dtype, *refs):
+    """Single-pass o-major backward: dx/dh per edge block + dwl/dbl
+    accumulated in VMEM scratch (written once, last grid step). Shares
+    the h2/x/g streams, the grep broadcasts, and the xrep tile between
+    the dx and dw halves — the split kernels stream and rebuild them
+    twice. Grid must stay sequential (scratch accumulates across E)."""
+    h2_ref, x_ref, g_ref, wl_ref = refs[:4]
+    dx_ref, dh_ref, dwl_ref, dbl_ref = refs[4:8]
+    dwl_scr, dbl_scr = refs[8:]
+
+    ei = pl.program_id(0)
+    noc = chunk // in_channels
+    g = g_ref[:]
+    xrep = _tile_lanes(x_ref[:], noc)
+    if dtype is not None:
+        xrep = xrep.astype(dtype)
+
+    @pl.when(ei == 0)
+    def _():
+        dwl_scr[:] = jnp.zeros_like(dwl_scr)
+        dbl_scr[:] = jnp.zeros_like(dbl_scr)
+
+    dx = jnp.zeros_like(dx_ref)
+    dh = jnp.zeros_like(dh_ref)
+    for ci in range(n_chunks):
+        c0 = ci * chunk
+        grep = _interleave_bcast(g, c0 // in_channels, noc, in_channels)
+        wl_c = wl_ref[:, c0: c0 + chunk]
+        h3c = _dot(h2_ref[:], wl_c, dtype)
+        v = h3c * grep
+        for oo in range(noc):
+            dx += v[:, oo * in_channels: (oo + 1) * in_channels]
+        dpre = xrep * grep
+        dh += _dot_general(dpre, wl_c, (((1,), (1,)), ((), ())), dtype)
+        dwl_scr[:, c0: c0 + chunk] += _dot_general(
+            h2_ref[:], dpre, (((0,), (0,)), ((), ())), dtype)
+        dbl_scr[:, c0: c0 + chunk] += jnp.sum(dpre, axis=0,
+                                              keepdims=True)
+    dx_ref[:] = dx
+    dh_ref[:] = dh
+
+    @pl.when(ei == n_blocks - 1)
+    def _():
+        dwl_ref[:] = dwl_scr[:]
+        dbl_ref[:] = dbl_scr[:]
+
+
 def _bwd_dw_kernel_omj(in_channels, out_channels, chunk, n_chunks,
                        dtype, *refs):
     h2_ref, x_ref, g_ref = refs[:3]
@@ -420,7 +468,8 @@ def _pad_e(arr, e_pad):
 @functools.lru_cache(maxsize=64)
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                   dtype_name, interpret, chunk=None,
-                  dim_semantics=True, resident=False, layout="i"):
+                  dim_semantics=True, resident=False, layout="i",
+                  merged_bwd=False):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -556,6 +605,38 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         h2p = _pad_e(h2, e_pad)
         xs = _pad_e(x_src, e_pad)
         gp = _pad_e(g, e_pad)
+
+        if layout == "o" and merged_bwd:
+            wlp = w_last[:, perm]
+            nb = e_pad // block_e
+            k = functools.partial(_bwd_merged_kernel_omj, in_channels,
+                                  out_channels, chunk, n_chunks, nb,
+                                  dtype)
+            dx, dh2, dwl_p, dbl_p = pl.pallas_call(
+                k,
+                grid=(nb,),
+                in_specs=[edge_spec1(kw_last), edge_spec1(in_channels),
+                          edge_spec1(out_channels),
+                          const_spec1(kw_last, c_total)],
+                out_specs=[edge_spec1(in_channels), edge_spec1(kw_last),
+                           const_spec1(kw_last, c_total),
+                           const_spec1(1, c_total)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((e_pad, in_channels),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((e_pad, kw_last), jnp.float32),
+                    jax.ShapeDtypeStruct((kw_last, c_total), jnp.float32),
+                    jax.ShapeDtypeStruct((1, c_total), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((kw_last, c_total), jnp.float32),
+                    pltpu.VMEM((1, c_total), jnp.float32),
+                ],
+                interpret=interpret,
+                # scratch accumulates across E steps — sequential axis
+                compiler_params=params1(parallel=False),
+            )(h2p, xs, gp, wlp)
+            return dwl_p[:, inv_perm], dbl_p[:, inv_perm], dx[:e], dh2[:e]
 
         if layout == "o":
             wlp = w_last[:, perm]
@@ -742,7 +823,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
-                        layout=None, sender_sort=None, interpret=None):
+                        layout=None, merged_bwd=False, sender_sort=None,
+                        interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
 
@@ -823,7 +905,7 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
                           dtype_name, interpret, chunk=chunk,
                           dim_semantics=dim_semantics, resident=resident,
-                          layout=layout)
+                          layout=layout, merged_bwd=merged_bwd)
     from .segment import gather_rows, gather_rows_st
 
     flat = tuple(_flatten_params(kernel_params))

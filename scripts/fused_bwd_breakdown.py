@@ -56,10 +56,11 @@ def main():
     span0 = int((rb0[:, -1] - rb0[:, 0]).max()) + 1
     st = (jax.device_put(jnp.asarray(sperm0, jnp.int32)), span0)
 
-    def msg_of(xx, kpp, sender_sort=None):
+    def msg_of(xx, kpp, sender_sort=None, merged_bwd=False):
         return fused_edge_messages(
             xx, senders, attr, kpp, in_channels=w, out_channels=w,
-            compute_dtype="bfloat16", sender_sort=sender_sort)
+            compute_dtype="bfloat16", sender_sort=sender_sort,
+            merged_bwd=merged_bwd)
 
     def time_fn(fn, *ops, iters=args.iters):
         jfn = jax.jit(fn)
@@ -79,10 +80,10 @@ def main():
         out, _ = jax.lax.scan(body, x, None, length=args.iters)
         return out
 
-    def grad_loop(argnums, sender_sort=None):
+    def grad_loop(argnums, sender_sort=None, merged_bwd=False):
         def loop(x, kp):
             def one(xx, kpp):
-                m = msg_of(xx, kpp, sender_sort)
+                m = msg_of(xx, kpp, sender_sort, merged_bwd)
                 return jnp.sum(m * m)
 
             def body(carry, _):
@@ -174,6 +175,8 @@ def main():
         ("fwd+dx (no dw kernel)", grad_loop((0,))),
         ("fwd+dk+dx (full)", grad_loop((0, 1))),
         ("fwd+dk+dx st-gather", grad_loop((0, 1), st)),
+        ("fwd+dk+dx merged", grad_loop((0, 1), None, True)),
+        ("fwd+dk+dx merged+st", grad_loop((0, 1), st, True)),
         ("scatter-add alone", scatter_loop),
         ("perm gather alone", permgather_loop),
         ("perm + blockoh", permblockoh_loop),

@@ -149,7 +149,8 @@ def test_fused_variants_match():
     x, senders, attr, kparams = _setup(e=256, w=w, seed=7)
     ref = _ref_messages(x, senders, attr, kparams, w)
     variants = [dict(resident=True), dict(resident=False),
-                dict(resident=True, layout="o")]
+                dict(resident=True, layout="o"),
+                dict(resident=True, layout="o", merged_bwd=True)]
     for kw in variants:
         out = fused_edge_messages(x, senders, attr, kparams,
                                   in_channels=w, out_channels=w,
