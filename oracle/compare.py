@@ -68,6 +68,10 @@ def main():
             ("final train rel-L2", lambda r: r.get("final_train_l2")),
             ("final test rel-L2", lambda r: r.get("final_test_l2")),
         ],
+        "mgkn_general": [
+            ("final train rel-L2", lambda r: r.get("final_train_l2")),
+            ("final test rel-L2", lambda r: r.get("final_test_l2")),
+        ],
     }
     all_ok = True
     for proto, metrics in protos.items():

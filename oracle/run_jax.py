@@ -40,10 +40,28 @@ def mgkn_config(data: str, seed: int):
         epochs_per_jit=1)
 
 
+def mgkn_general_config(data: str, seed: int):
+    """Mirror of oracle/run_mgkn_general.py defaults (MKGN V-cycle on
+    multilevel random meshes, MGKN_general_darcy2d.py semantics)."""
+    from graph_pde_tpu.experiments import get
+
+    return dataclasses.replace(
+        get("mgkn_general_darcy2d"),
+        data_path=f"{data}/darcy_train.mat",
+        test_data_path=f"{data}/darcy_test.mat",
+        source_res=241, downsample=4, ntrain=32, ntest=10,
+        points=(100, 50, 12), radius_inner=(0.25, 0.5, 1.0),
+        radius_inter=(0.125, 0.25), width=32, ker_width=64, depth=3,
+        epochs=24, learning_rate=1e-4, scheduler_step=10,
+        scheduler_gamma=0.8, seed=seed, epochs_per_jit=1,
+        eval_protocol="fixed")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="results/oracle_data")
-    ap.add_argument("--protocol", choices=("uai3", "mgkn"),
+    ap.add_argument("--protocol", choices=("uai3", "mgkn",
+                                           "mgkn_general"),
                     required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
@@ -56,8 +74,9 @@ def main():
 
     from graph_pde_tpu.experiments import run_experiment
 
-    cfg = (uai3_config if args.protocol == "uai3"
-           else mgkn_config)(args.data, args.seed)
+    cfg = {"uai3": uai3_config, "mgkn": mgkn_config,
+           "mgkn_general": mgkn_general_config}[args.protocol](
+               args.data, args.seed)
     res = run_experiment(cfg)
     res.pop("params", None)
     res.pop("_bundle", None)
