@@ -244,11 +244,36 @@ def pallas_selfcheck(graphs):
     return err
 
 
+def _arm_watchdog(seconds=2700):
+    """If the axon tunnel is dead, every dispatch hangs forever (round-3
+    outage: relay ports closed; even an 8x8 matmul never returns). Emit
+    an HONEST error JSON and exit non-zero instead of hanging the
+    driver — never fabricate metric values."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "gkn_darcy_epoch_time_s", "value": None,
+            "unit": "s", "vs_baseline": None,
+            "error": f"watchdog: no result within {seconds}s — "
+                     "TPU tunnel unresponsive (environment, not repo; "
+                     "see NEXT_STEPS.md round-3 outage note)"}),
+            flush=True)
+        os._exit(17)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
     from graph_pde_tpu.models import GKNConfig, gkn_init
     from graph_pde_tpu.train import GKNTask
 
+    watchdog = _arm_watchdog()
     arrays, graphs = build_data()
 
     kernel_layers = GKNConfig.kernel_nn3_layers(6, 256, 64)
@@ -301,6 +326,7 @@ def main():
     }
     if pallas_err is not None:
         out["pallas_parity_max_rel_err"] = round(pallas_err, 6)
+    watchdog.cancel()
     print(json.dumps(out))
 
 
