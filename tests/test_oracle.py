@@ -165,3 +165,81 @@ def test_mgkn_orthogonal_matches_torch_oracle():
     out = np.asarray(mgkn_orthogonal_apply(params, cfg, graph))
     np.testing.assert_allclose(out[:, 0], ref[:, 0], rtol=5e-4,
                                atol=5e-5)
+
+
+def test_mgkn_general_matches_torch_oracle():
+    """MKGN general V-cycle (MGKN_general_darcy2d.py:21-95: residual
+    down/up convs without root/bias, in-place-slice mid convs with root
+    weight, kw/2^l kernel widths) == mgkn_general_apply with copied
+    weights on the oracle's own RandomMultiMeshGenerator
+    re-implementation."""
+    import argparse
+
+    from oracle.run_mgkn_general import MKGNGeneral, MultiMesh
+    from graph_pde_tpu.graph import build_multilevel_graph
+    from graph_pde_tpu.models import (MGKNGeneralConfig,
+                                      mgkn_general_init,
+                                      mgkn_general_apply)
+
+    rng = np.random.default_rng(4)
+    s, w, kw, depth = 17, 8, 16, 2
+    m = [40, 20, 8]
+    gen = torch.Generator().manual_seed(5)
+    mesh = MultiMesh(s, m, gen)
+    idx, idx_all = mesh.sample()
+    args = argparse.Namespace(radius_inner=[0.3, 0.6, 1.0],
+                              radius_inter=[0.2, 0.4], m=m)
+    ei_mid, ei_down, ei_up = mesh.connectivity(args.radius_inner,
+                                               args.radius_inter)
+    theta = rng.normal(size=(s * s,)).astype(np.float32)
+    a_mid, a_down, a_up = mesh.attributes(theta)
+    x = np.concatenate(
+        [mesh.grid_sample_all]
+        + [rng.normal(size=(s * s,)).astype(np.float32)[idx_all][:, None]
+           for _ in range(4)], axis=1).astype(np.float32)
+
+    torch.manual_seed(4)
+    model = MKGNGeneral(width=w, ker_width=kw, depth=depth, ker_in=6,
+                        points=m, level=3, in_width=6)
+    tl = lambda a: torch.tensor(np.ascontiguousarray(a),
+                                dtype=torch.long)
+    tt = lambda a: torch.tensor(np.ascontiguousarray(a),
+                                dtype=torch.float32)
+    with torch.no_grad():
+        ref = model(tt(x), [tl(e) for e in ei_mid],
+                    [tt(a) for a in a_mid], [tl(e) for e in ei_down],
+                    [tt(a) for a in a_down], [tl(e) for e in ei_up],
+                    [tt(a) for a in a_up]).numpy()
+
+    cfg = MGKNGeneralConfig(width=w, ker_width=kw, depth=depth, ker_in=6,
+                            in_width=6, points=tuple(m), variant="mkgn",
+                            impl="reference")
+    params = mgkn_general_init(jax.random.PRNGKey(0), cfg)
+
+    def lin(linear):
+        return {"w": jnp.asarray(linear.weight.detach().numpy().T),
+                "b": jnp.asarray(linear.bias.detach().numpy())}
+
+    params["fc_in"] = lin(model.fc_in)
+    params["fc_out1"] = lin(model.fc_out1)
+    params["fc_out2"] = lin(model.fc_out2)
+    for l in range(2):
+        params["conv_down"][l]["kernel"] = _dense_params_from_torch(
+            model.conv_down[l].kernel)
+        params["conv_up"][l]["kernel"] = _dense_params_from_torch(
+            model.conv_up[l].kernel)
+    for l in range(3):
+        params["conv_mid"][l]["kernel"] = _dense_params_from_torch(
+            model.conv_mid[l].kernel)
+        params["conv_mid"][l]["root"] = jnp.asarray(
+            model.conv_mid[l].root.detach().numpy())
+
+    g = build_multilevel_graph(
+        x, m,
+        [np.asarray(e) for e in ei_mid], [np.asarray(a) for a in a_mid],
+        [np.asarray(e) for e in ei_down],
+        [np.asarray(a) for a in a_down],
+        [np.asarray(e) for e in ei_up], [np.asarray(a) for a in a_up])
+    out = np.asarray(mgkn_general_apply(params, cfg, g))
+    np.testing.assert_allclose(out[:, 0], ref[:, 0], rtol=5e-4,
+                               atol=5e-5)
