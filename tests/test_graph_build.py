@@ -266,3 +266,76 @@ def test_graph_vs_reference_semantics_small():
     ours = ours[np.lexsort(ours.T[::-1])]
     refs = refs[np.lexsort(refs.T[::-1])]
     np.testing.assert_allclose(ours, refs, atol=1e-6)
+
+
+def test_sender_sort_fields_through_transforms():
+    """Graph.sender_perm/sender_span (scatter-free conv backward) must
+    stay valid through build, repad_edges, stack_graphs, and
+    flatten_stacked: the perm must sort the (padded) senders and the
+    512-block span bound must hold on the sorted stream."""
+    from graph_pde_tpu.graph import (build_graph, stack_graphs,
+                                     repad_edges, flatten_stacked)
+
+    rng = np.random.default_rng(0)
+
+    def check(senders, perm, span):
+        senders = np.asarray(senders)
+        perm = np.asarray(perm)
+        ss = senders[perm]
+        assert (np.diff(ss) >= 0).all(), "perm does not sort senders"
+        rb = ss.reshape(-1, 512)
+        assert int((rb[:, -1] - rb[:, 0]).max()) + 1 <= span
+
+    def make(seed, n=64, e=700):
+        r = np.random.default_rng(seed)
+        src = r.integers(0, n, size=e).astype(np.int32)
+        dst = np.sort(r.integers(0, n, size=e).astype(np.int32))
+        x = r.normal(size=(n, 3)).astype(np.float32)
+        attr = r.normal(size=(e, 2)).astype(np.float32)
+        return build_graph(x, src, dst, attr)
+
+    g = make(1)
+    assert g.sender_span > 0
+    check(g.senders, g.sender_perm, g.sender_span)
+
+    g2 = repad_edges(g, g.senders.shape[0] + 512)
+    assert g2.sender_span > 0
+    check(g2.senders, g2.sender_perm, g2.sender_span)
+
+    stacked = stack_graphs([make(1), make(2)])
+    assert stacked.sender_span > 0
+    for b in range(2):
+        check(stacked.senders[b], stacked.sender_perm[b],
+              stacked.sender_span)
+
+    flat = flatten_stacked(stacked)
+    assert flat.sender_span == stacked.sender_span
+    check(np.asarray(flat.senders), np.asarray(flat.sender_perm),
+          flat.sender_span)
+
+
+def test_fused_auto_gates():
+    """Auto-selection in fused_edge_messages: resident iff Wl fits;
+    o-major only on the resident form with in-aligned chunks (explicit
+    mis-aligned chunk falls back to i-major without error)."""
+    import jax
+    import jax.numpy as jnp
+    from graph_pde_tpu.ops import dense_init
+    from graph_pde_tpu.ops.pallas_edge_conv import fused_edge_messages
+
+    rng = np.random.default_rng(3)
+    w, e, n = 16, 256, 40
+    x = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+    senders = jnp.asarray(rng.integers(0, n, size=e).astype(np.int32))
+    attr = jnp.asarray(rng.normal(size=(e, 6)).astype(np.float32))
+    kp = dense_init(jax.random.PRNGKey(0), [6, 32, 32, w * w])
+
+    base = fused_edge_messages(x, senders, attr, kp, in_channels=w,
+                               out_channels=w, interpret=True)
+    # layout='o' with resident=False must fall back to i-major streamed
+    # (o-major is implemented on the resident form only) and still match
+    out = fused_edge_messages(x, senders, attr, kp, in_channels=w,
+                              out_channels=w, interpret=True,
+                              layout="o", resident=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-5, atol=1e-5)
