@@ -19,15 +19,17 @@ matrices built from iota:
 and the tiled pattern Grep[e, c] = g[e, c % w_out] via lane concatenation
 (Mosaic-supported, unlike reshape).
 
-The LAST MLP layer (the [ker_width, w_in*w_out] GEMM, >90% of FLOPs and
-bytes) is streamed in column chunks: the forward grid is
-(E_blocks, n_chunks) with messages accumulated across chunks and the small
-layers' activations held in scratch. The backward splits into two
-slab-free kernels on opposite grid orders:
-  - dx/dh kernel, grid (E_blocks, n_chunks): dx and dh2 accumulate across
-    contiguous chunk steps into revisited output blocks;
-  - dW/db kernel, grid (n_chunks, E_blocks): weight-gradient chunks
-    accumulate across contiguous edge-block steps.
+Three kernel forms, selected by auto gates (fastest first):
+  1. o-major resident (default when the last layer fits VMEM): Wl
+     columns permuted once per call so both replication patterns are
+     free VPU ops — no selector GEMMs at all (see the o-major section).
+  2. i-major resident: Wl held in VMEM, single parallel E grid,
+     unrolled in-kernel chunk loop.
+  3. i-major streamed (large ker_width fallback): the last MLP layer
+     ([ker_width, w_in*w_out], >90% of FLOPs and bytes) streamed in
+     column chunks over a second grid axis; the backward splits into a
+     dx/dh kernel (grid (E_blocks, n_chunks)) and a dW/db kernel
+     (grid (n_chunks, E_blocks)) accumulating on opposite grid orders.
 Small layers are recomputed and backpropped in XLA (they are
 [E, ker_width]-sized — cheap). This supports every reference kernel width
 (256..1024+) with large, MXU-shaped blocks.
