@@ -327,15 +327,24 @@ def _bwd_dx_kernel_omj(in_channels, out_channels, chunk, n_chunks,
 
 
 def _bwd_merged_kernel_omj(in_channels, out_channels, chunk, n_chunks,
-                           n_blocks, dtype, *refs):
+                           n_blocks, dtype, use_scratch, *refs):
     """Single-pass o-major backward: dx/dh per edge block + dwl/dbl
-    accumulated in VMEM scratch (written once, last grid step). Shares
-    the h2/x/g streams, the grep broadcasts, and the xrep tile between
-    the dx and dw halves — the split kernels stream and rebuild them
-    twice. Grid must stay sequential (scratch accumulates across E)."""
+    accumulated across the sequential E grid. Shares the h2/x/g
+    streams, the grep broadcasts, and the xrep tile between the dx and
+    dw halves — the split kernels stream and rebuild them twice.
+
+    use_scratch=True accumulates dwl/dbl in VMEM scratch and writes the
+    output once on the last grid step (3 x [kw, c_total] f32 resident:
+    Wl + scratch + output block — over the v5e's 16 MB at uai4 shapes,
+    Mosaic compile fails). use_scratch=False accumulates directly into
+    the revisited output block (the split dw kernel's pattern, 2 x
+    [kw, c_total] resident) — the form that fits."""
     h2_ref, x_ref, g_ref, wl_ref = refs[:4]
     dx_ref, dh_ref, dwl_ref, dbl_ref = refs[4:8]
-    dwl_scr, dbl_scr = refs[8:]
+    if use_scratch:
+        dwl_acc, dbl_acc = refs[8:]
+    else:
+        dwl_acc, dbl_acc = dwl_ref, dbl_ref
 
     ei = pl.program_id(0)
     noc = chunk // in_channels
@@ -346,8 +355,8 @@ def _bwd_merged_kernel_omj(in_channels, out_channels, chunk, n_chunks,
 
     @pl.when(ei == 0)
     def _():
-        dwl_scr[:] = jnp.zeros_like(dwl_scr)
-        dbl_scr[:] = jnp.zeros_like(dbl_scr)
+        dwl_acc[:] = jnp.zeros_like(dwl_acc)
+        dbl_acc[:] = jnp.zeros_like(dbl_acc)
 
     dx = jnp.zeros_like(dx_ref)
     dh = jnp.zeros_like(dh_ref)
@@ -361,17 +370,18 @@ def _bwd_merged_kernel_omj(in_channels, out_channels, chunk, n_chunks,
             dx += v[:, oo * in_channels: (oo + 1) * in_channels]
         dpre = xrep * grep
         dh += _dot_general(dpre, wl_c, (((1,), (1,)), ((), ())), dtype)
-        dwl_scr[:, c0: c0 + chunk] += _dot_general(
+        dwl_acc[:, c0: c0 + chunk] += _dot_general(
             h2_ref[:], dpre, (((0,), (0,)), ((), ())), dtype)
-        dbl_scr[:, c0: c0 + chunk] += jnp.sum(dpre, axis=0,
+        dbl_acc[:, c0: c0 + chunk] += jnp.sum(dpre, axis=0,
                                               keepdims=True)
     dx_ref[:] = dx
     dh_ref[:] = dh
 
-    @pl.when(ei == n_blocks - 1)
-    def _():
-        dwl_ref[:] = dwl_scr[:]
-        dbl_ref[:] = dbl_scr[:]
+    if use_scratch:
+        @pl.when(ei == n_blocks - 1)
+        def _():
+            dwl_ref[:] = dwl_acc[:]
+            dbl_ref[:] = dbl_acc[:]
 
 
 def _bwd_dw_kernel_omj(in_channels, out_channels, chunk, n_chunks,
@@ -611,9 +621,19 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         if layout == "o" and merged_bwd:
             wlp = w_last[:, perm]
             nb = e_pad // block_e
+            # Measured (scripts/merged_probe.py, real v5e): accumulating
+            # into the REVISITED OUTPUT block ("noscr") makes Mosaic
+            # compile in 255 s at grid=16 and time out the remote
+            # compile helper at grid>=256 — it appears to unroll the
+            # sequential grid. The VMEM-scratch form compiles in
+            # seconds at any grid; its cost is THREE [kw, c_total] f32
+            # slabs resident (Wl + scratch + output block), which the
+            # auto tile gate below accounts for. noscr stays as an
+            # explicit pin for future-toolchain re-probes only.
+            use_scratch = merged_bwd != "noscr"
             k = functools.partial(_bwd_merged_kernel_omj, in_channels,
                                   out_channels, chunk, n_chunks, nb,
-                                  dtype)
+                                  dtype, use_scratch)
             dx, dh2, dwl_p, dbl_p = pl.pallas_call(
                 k,
                 grid=(nb,),
@@ -630,12 +650,12 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                     jax.ShapeDtypeStruct((kw_last, c_total), jnp.float32),
                     jax.ShapeDtypeStruct((1, c_total), jnp.float32),
                 ],
-                scratch_shapes=[
+                scratch_shapes=([
                     pltpu.VMEM((kw_last, c_total), jnp.float32),
                     pltpu.VMEM((1, c_total), jnp.float32),
-                ],
+                ] if use_scratch else []),
                 interpret=interpret,
-                # scratch accumulates across E steps — sequential axis
+                # dwl/dbl accumulate across E steps — sequential axis
                 compiler_params=params1(parallel=False),
             )(h2p, xs, gp, wlp)
             return dwl_p[:, inv_perm], dbl_p[:, inv_perm], dx[:e], dh2[:e]
@@ -887,12 +907,26 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
         # ch=2048). Shrink chunk first (in-kernel loop, cheap), then
         # block_e. Explicitly-passed knobs are honored as-is
         # (measurement scripts need true failures, not silent refits).
+        # The merged backward holds 3 [kw, c_total] slabs (Wl + dwl
+        # scratch + dwl output) plus double-buffered h2 edge streams:
+        # measured fit boundary at uai4 shapes is be=256/ch=256 OK,
+        # be=512/ch=256 FAIL (scripts/merged_probe.py).
         def _fits(be, ch):
+            if merged_bwd:
+                return (3 * kw_last * c_total * 4 + 3 * be * ch * 4
+                        + 4 * be * kw_last * 4) <= 14_500_000
             return kw_last * c_total * 4 + 3 * be * ch * 4 \
                 <= 12 * 1024 * 1024
         eff_chunk = chunk if chunk is not None else min(C_CHUNK, c_total)
         shrink_align = out_channels if layout == "i" \
             else int(np.lcm(in_channels, out_channels))
+        if merged_bwd:
+            # the slab term dominates the merged budget; shrinking chunk
+            # barely moves it — shrink block_e first so the chunk stays
+            # at its measured-best size (be=256/ch=256 at uai4 shapes)
+            while auto_block and not _fits(block_e, eff_chunk) \
+                    and block_e > 256:
+                block_e //= 2
         while auto_chunk and not _fits(block_e, eff_chunk) \
                 and eff_chunk > shrink_align \
                 and (eff_chunk // 2) % shrink_align == 0 \

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--ker-width", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--arms", type=str, default="",
+                    help="comma-separated substring filter on arm labels")
     args = ap.parse_args()
 
     import jax
@@ -182,6 +184,9 @@ def main():
         ("perm + blockoh", permblockoh_loop),
         ("perm + blockoh bf16", permblockoh_bf16_loop),
     ]:
+        if args.arms and not any(a.strip() in label
+                                 for a in args.arms.split(",")):
+            continue
         try:
             t = time_fn(fn, x, kparams)
             print(f"{label:24} {t:7.2f} ms", flush=True)

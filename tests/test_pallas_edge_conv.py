@@ -150,7 +150,11 @@ def test_fused_variants_match():
     ref = _ref_messages(x, senders, attr, kparams, w)
     variants = [dict(resident=True), dict(resident=False),
                 dict(resident=True, layout="o"),
-                dict(resident=True, layout="o", merged_bwd=True)]
+                # True auto-selects VMEM-scratch accumulation at small
+                # shapes; "noscr" pins the revisited-output-block form
+                # (what actually fits the v5e at uai4 scale)
+                dict(resident=True, layout="o", merged_bwd=True),
+                dict(resident=True, layout="o", merged_bwd="noscr")]
     for kw in variants:
         out = fused_edge_messages(x, senders, attr, kparams,
                                   in_channels=w, out_channels=w,
