@@ -335,10 +335,13 @@ def _bwd_merged_kernel_omj(in_channels, out_channels, chunk, n_chunks,
 
     use_scratch=True accumulates dwl/dbl in VMEM scratch and writes the
     output once on the last grid step (3 x [kw, c_total] f32 resident:
-    Wl + scratch + output block — over the v5e's 16 MB at uai4 shapes,
-    Mosaic compile fails). use_scratch=False accumulates directly into
-    the revisited output block (the split dw kernel's pattern, 2 x
-    [kw, c_total] resident) — the form that fits."""
+    Wl + scratch + output block) — this is the PRODUCTION form; the
+    _fits gate below budgets its third slab. use_scratch=False
+    ("noscr") accumulates directly into the revisited output block
+    (2 slabs, fits VMEM more easily) but Mosaic appears to unroll the
+    sequential grid for it: 255 s compile at grid=16, remote-helper
+    timeout at grid>=256 (scripts/merged_probe.py) — kept only as an
+    explicit pin for future-toolchain re-probes."""
     h2_ref, x_ref, g_ref, wl_ref = refs[:4]
     dx_ref, dh_ref, dwl_ref, dbl_ref = refs[4:8]
     if use_scratch:
@@ -911,16 +914,22 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
         # scratch + dwl output) plus double-buffered h2 edge streams:
         # measured fit boundary at uai4 shapes is be=256/ch=256 OK,
         # be=512/ch=256 FAIL (scripts/merged_probe.py).
+        # budget the merged kernel's slabs only when it can actually
+        # dispatch (same condition as bwd_big: o-major layout + flag);
+        # 'noscr' holds 2 slabs (no VMEM scratch), True holds 3
+        merged_eff = merged_bwd if layout == "o" else False
+        n_slabs = 2 if merged_eff == "noscr" else 3
+
         def _fits(be, ch):
-            if merged_bwd:
-                return (3 * kw_last * c_total * 4 + 3 * be * ch * 4
+            if merged_eff:
+                return (n_slabs * kw_last * c_total * 4 + 3 * be * ch * 4
                         + 4 * be * kw_last * 4) <= 14_500_000
             return kw_last * c_total * 4 + 3 * be * ch * 4 \
                 <= 12 * 1024 * 1024
         eff_chunk = chunk if chunk is not None else min(C_CHUNK, c_total)
         shrink_align = out_channels if layout == "i" \
             else int(np.lcm(in_channels, out_channels))
-        if merged_bwd:
+        if merged_eff:
             # the slab term dominates the merged budget; shrinking chunk
             # barely moves it — shrink block_e first so the chunk stays
             # at its measured-best size (be=256/ch=256 at uai4 shapes)

@@ -184,8 +184,8 @@ def main():
         ("perm + blockoh", permblockoh_loop),
         ("perm + blockoh bf16", permblockoh_bf16_loop),
     ]:
-        if args.arms and not any(a.strip() in label
-                                 for a in args.arms.split(",")):
+        wanted = [a.strip() for a in args.arms.split(",") if a.strip()]
+        if wanted and not any(a in label for a in wanted):
             continue
         try:
             t = time_fn(fn, x, kparams)

@@ -150,9 +150,10 @@ def test_fused_variants_match():
     ref = _ref_messages(x, senders, attr, kparams, w)
     variants = [dict(resident=True), dict(resident=False),
                 dict(resident=True, layout="o"),
-                # True auto-selects VMEM-scratch accumulation at small
-                # shapes; "noscr" pins the revisited-output-block form
-                # (what actually fits the v5e at uai4 scale)
+                # True selects the VMEM-scratch accumulation form (the
+                # production form); "noscr" pins the revisited-output
+                # block form, which holds fewer slabs but Mosaic-compile
+                # times out at real grids — kept covered for re-probes
                 dict(resident=True, layout="o", merged_bwd=True),
                 dict(resident=True, layout="o", merged_bwd="noscr")]
     for kw in variants:
