@@ -186,10 +186,17 @@ def _run_gkn(cfg: ExperimentConfig, progress=None,
             u_normalizer=arrays.u_normalizer)
         test_arrays.u = np.asarray(
             arrays.u_normalizer.encode(test_arrays.u))
-        train_g = darcy_gkn_graphs(
-            arrays, m=cfg.nystrom_m, k=cfg.graphs_per_sample,
-            radius=cfg.radius_train, seed=cfg.seed,
-            node_block=cfg.node_block)
+        if cfg.train_split:
+            # UAI7 shard training (UAI7_evaluate.py:131-141): a FIXED
+            # set of ntrain*k random downsample-grid shards (stride
+            # r=train_split subgrid + random fill to m nodes), labels
+            # = encoded u at the shard indices
+            train_g = _darcy_shard_train_graphs(cfg, arrays)
+        else:
+            train_g = darcy_gkn_graphs(
+                arrays, m=cfg.nystrom_m, k=cfg.graphs_per_sample,
+                radius=cfg.radius_train, seed=cfg.seed,
+                node_block=cfg.node_block)
         test_g = darcy_gkn_graphs(
             test_arrays, m=cfg.nystrom_m, radius=radius_test,
             seed=cfg.seed + 1, node_block=cfg.node_block)
@@ -248,14 +255,14 @@ def _run_gkn(cfg: ExperimentConfig, progress=None,
             _eval_gkn_multires(cfg, mcfg, res.params, arrays, norms,
                                radius_test)
     elif cfg.eval_protocol == "split_random" and cfg.dataset == "darcy":
-        result["full_field_l2"] = _eval_gkn_split_random(
-            cfg, mcfg, res.params, arrays, norms)
+        result.update(_eval_gkn_split_random(
+            cfg, mcfg, res.params, arrays, norms))
     elif cfg.eval_protocol == "split_random" and cfg.dataset == "burgers":
         result["full_field_l2"] = _eval_gkn_split_random_burgers(
             cfg, mcfg, res.params, arrays)
     elif cfg.eval_protocol == "split_downsample":
-        result["full_field_l2"] = _eval_gkn_split_downsample(
-            cfg, mcfg, res.params, arrays, norms)
+        result.update(_eval_gkn_split_downsample(
+            cfg, mcfg, res.params, arrays, norms))
     if cfg.eval_m and cfg.dataset == "darcy":
         # test-side node-count generalization (UAI5_sample_generalize.py):
         # the same weights evaluated on graphs subsampled at other m
@@ -380,14 +387,43 @@ def _predict_shards(mcfg, params, graphs):
     return preds
 
 
+def _darcy_shard_train_graphs(cfg, arrays):
+    """Fixed ntrain*k DownsampleGridSplitter training shards with
+    labels (UAI7_evaluate.py:131-141: gridsplitter.sample(theta, y) per
+    (sample, repeat); the DataLoader then shuffles the fixed list)."""
+    from ..graph import (DownsampleGridSplitter, make_box_grid,
+                         repad_edges, stack_graphs)
+
+    s = arrays.s
+    grid = make_box_grid([[0, 1], [0, 1]], [s, s])
+    # m >= the largest shard's subgrid (the x=0,y=0 one) makes sp.sample
+    # fill EVERY shard to exactly m nodes -> uniform node capacity
+    sub = (s - 1) // cfg.train_split + 1 if s % 2 == 1 \
+        else s // cfg.train_split
+    m = max(cfg.nystrom_m or sub * sub, sub * sub)
+    sp = DownsampleGridSplitter(grid, s, r=cfg.train_split, m=m,
+                                radius=cfg.radius_train, seed=cfg.seed)
+    graphs = []
+    for j in range(cfg.ntrain):
+        theta = np.stack([arrays.a[j], arrays.a_smooth[j],
+                          arrays.a_gradx[j], arrays.a_grady[j]], axis=1)
+        for _ in range(cfg.graphs_per_sample):
+            g, _xy = sp.sample(theta, arrays.u[j])
+            graphs.append(g)
+    cap = max(int(g.senders.shape[0]) for g in graphs)
+    return stack_graphs(
+        [repad_edges(g, cap) if int(g.senders.shape[0]) != cap else g
+         for g in graphs])
+
+
 def _eval_gkn_split_random(cfg, mcfg, params, arrays, norms):
     """Full-field eval via RandomGridSplitter (UAI7_evaluate2.py:150-161)."""
     from ..graph import RandomGridSplitter, make_box_grid
     from ..data import load_or_generate_darcy
 
     s = arrays.s
-    fields = load_or_generate_darcy(min(cfg.ntest, 10), cfg.source_res,
-                                    seed=cfg.data_seed + 2)
+    fields = _load_darcy_fields(cfg, min(cfg.ntest, 10),
+                                cfg.test_data_path, cfg.data_seed + 2)
     test_arrays, _ = prepare_darcy(fields, n=min(cfg.ntest, 10),
                                    r=cfg.downsample, normalizers=norms,
                                    u_normalizer=arrays.u_normalizer)
@@ -395,10 +431,12 @@ def _eval_gkn_split_random(cfg, mcfg, params, arrays, norms):
     m = cfg.nystrom_m or 200
     n = s * s
     m = _divisor_near(n, m)
-    sp = RandomGridSplitter(grid, s, d=2, m=m, l=1, radius=cfg.radius_train,
-                            seed=cfg.seed)
+    sp = RandomGridSplitter(grid, s, d=2, m=m, l=cfg.split_l,
+                            radius=cfg.radius_train, seed=cfg.seed)
     lp = LpLoss(size_average=False)
     total = 0.0
+    shard_total = 0.0
+    shard_count = 0
     count = 0
     for j in range(test_arrays.a.shape[0]):
         theta = np.stack([test_arrays.a[j], test_arrays.a_smooth[j],
@@ -407,19 +445,28 @@ def _eval_gkn_split_random(cfg, mcfg, params, arrays, norms):
         graphs = sp.get_data(theta)
         preds = _predict_shards(mcfg, params, graphs)
         idxs = [np.asarray(g.sample_idx)[: int(g.n_node)] for g in graphs]
-        # decode per shard with sample_idx stats when unit normalizer
-        dec = []
         for p, idx in zip(preds, idxs):
+            # per-shard (subsampled) error companion — decoded with the
+            # shard's own per-point stats
             d = arrays.u_normalizer.decode(p[None, :], sample_idx=idx[None]) \
                 if cfg.u_norm == "unit" else \
                 arrays.u_normalizer.decode(p[None, :])
-            dec.append(np.asarray(d)[0])
-        full = sp.assemble(dec, idxs)
+            truth_idx = test_arrays.u[j][idx]
+            shard_total += float(lp.rel(np.asarray(d)[0][None],
+                                        truth_idx[None]))
+            shard_count += 1
+        # reference order (UAI7_evaluate2.py:222-231): assemble the
+        # ENCODED shard predictions, then decode the full field with
+        # the full-grid stats (no sample_idx)
+        full_enc = sp.assemble(preds, idxs)
+        full = np.asarray(
+            arrays.u_normalizer.decode(full_enc[None, :]))[0]
         truth = test_arrays.u[j]  # un-encoded (prepare with u_normalizer
         # passed -> no encode)
         total += float(lp.rel(full[None], truth[None]))
         count += 1
-    return total / max(count, 1)
+    return {"full_field_l2": total / max(count, 1),
+            "shard_l2": shard_total / max(shard_count, 1)}
 
 
 def _eval_gkn_split_downsample(cfg, mcfg, params, arrays, norms):
@@ -429,19 +476,24 @@ def _eval_gkn_split_downsample(cfg, mcfg, params, arrays, norms):
     from ..data import load_or_generate_darcy
 
     s = arrays.s
-    fields = load_or_generate_darcy(min(cfg.ntest, 10), cfg.source_res,
-                                    seed=cfg.data_seed + 2)
+    fields = _load_darcy_fields(cfg, min(cfg.ntest, 10),
+                                cfg.test_data_path, cfg.data_seed + 2)
     test_arrays, _ = prepare_darcy(fields, n=min(cfg.ntest, 10),
                                    r=cfg.downsample, normalizers=norms,
                                    u_normalizer=arrays.u_normalizer)
     grid = make_box_grid([[0, 1], [0, 1]], [s, s])
-    r = max(2, int(round(s / np.sqrt(cfg.nystrom_m or 200))))
-    sub = (s // r + (1 if s % 2 == 1 else 0))
+    # reference (UAI7_evaluate.py:174-176): test splitter stride equals
+    # the training stride; fall back to the sqrt heuristic otherwise
+    r = cfg.train_split or max(2, int(round(s / np.sqrt(cfg.nystrom_m
+                                                        or 200))))
+    sub = ((s - 1) // r + 1 if s % 2 == 1 else s // r)
     m = max(cfg.nystrom_m or sub * sub, sub * sub)
     sp = DownsampleGridSplitter(grid, s, r=r, m=m,
                                 radius=cfg.radius_train, seed=cfg.seed)
     lp = LpLoss(size_average=False)
     total = 0.0
+    shard_total = 0.0
+    shard_count = 0
     count = 0
     for j in range(test_arrays.a.shape[0]):
         theta = np.stack([test_arrays.a[j], test_arrays.a_smooth[j],
@@ -451,18 +503,26 @@ def _eval_gkn_split_downsample(cfg, mcfg, params, arrays, norms):
         graphs = [g for g, xy in shards]
         xys = [xy for g, xy in shards]
         preds = _predict_shards(mcfg, params, graphs)
-        dec = []
         for p, g in zip(preds, graphs):
             idx = np.asarray(g.sample_idx)[: len(p)]
             d = arrays.u_normalizer.decode(p[None, :], sample_idx=idx[None]) \
                 if cfg.u_norm == "unit" else \
                 arrays.u_normalizer.decode(p[None, :])
-            dec.append(np.asarray(d)[0])
-        full = sp.assemble(dec, xys, sigma=1.0)
+            truth_idx = test_arrays.u[j][idx]
+            shard_total += float(lp.rel(np.asarray(d)[0][None],
+                                        truth_idx[None]))
+            shard_count += 1
+        # reference order (UAI7_evaluate.py:218-229 + mp:1122-1151):
+        # re-interleave + sigma=1 gaussian-smooth the ENCODED shard
+        # predictions, then decode the full field (no sample_idx)
+        full_enc = sp.assemble(preds, xys, sigma=1.0)
+        full = np.asarray(
+            arrays.u_normalizer.decode(full_enc[None, :]))[0]
         truth = test_arrays.u[j]
         total += float(lp.rel(full[None], truth[None]))
         count += 1
-    return total / max(count, 1)
+    return {"full_field_l2": total / max(count, 1),
+            "shard_l2": shard_total / max(shard_count, 1)}
 
 
 def _divisor_near(n: int, m: int) -> int:
@@ -638,8 +698,10 @@ def _eval_mgkn_split(cfg, mcfg, params, arrays, norms, caps):
 
     s = arrays.s
     n_eval = min(cfg.ntest, 5)
-    fields = load_or_generate_darcy(n_eval, cfg.source_res,
-                                    seed=cfg.data_seed + 2)
+    # use the configured test .mat when present (the oracle A/B shares
+    # test fields across the torch/jax sides); fresh fields otherwise
+    fields = _load_darcy_fields(cfg, n_eval, cfg.test_data_path,
+                                cfg.data_seed + 2)
     test_arrays, _ = prepare_darcy(fields, n=n_eval, r=cfg.downsample,
                                    normalizers=norms,
                                    u_normalizer=arrays.u_normalizer)

@@ -54,7 +54,11 @@ def mgkn_general_config(data: str, seed: int):
         radius_inter=(0.125, 0.25), width=32, ker_width=64, depth=3,
         epochs=24, learning_rate=1e-4, scheduler_step=10,
         scheduler_gamma=0.8, seed=seed, epochs_per_jit=1,
-        eval_protocol="fixed")
+        # split_random adds the reference's actual eval path — the
+        # RandomMultiMeshSplitter split -> predict -> assemble
+        # full-field rel-L2 (round-3 verdict item 5) — on top of the
+        # fixed fresh-graph test metric that fit() always reports
+        eval_protocol="split_random")
 
 
 def main():
@@ -65,6 +69,14 @@ def main():
                     required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    # production-numerics overrides (round-3 verdict item 8: the torch-
+    # anchored convergence evidence must also cover the configurations
+    # the bench numbers use — bf16 kernel storage, fused pallas path)
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=(None, "bfloat16"))
+    ap.add_argument("--impl", default=None,
+                    choices=(None, "kcached", "pallas", "scan",
+                             "reference"))
     args = ap.parse_args()
 
     import jax
@@ -77,15 +89,23 @@ def main():
     cfg = {"uai3": uai3_config, "mgkn": mgkn_config,
            "mgkn_general": mgkn_general_config}[args.protocol](
                args.data, args.seed)
+    overrides = {}
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
+    if args.impl:
+        overrides["impl"] = args.impl
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     res = run_experiment(cfg)
     res.pop("params", None)
     res.pop("_bundle", None)
     out = {"protocol": f"{args.protocol}_oracle_ab", "side": "jax",
-           "seed": args.seed,
+           "seed": args.seed, "overrides": overrides or None,
            "train_l2": res.get("train_l2"),
            "final_train_l2": (res["train_l2"][-1]
                               if res.get("train_l2") else None),
            "final_test_l2": res.get("final_test_l2"),
+           "full_field_l2": res.get("full_field_l2"),
            "multires": res.get("multires")}
     if args.out:
         with open(args.out, "w") as f:

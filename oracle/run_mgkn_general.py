@@ -120,6 +120,46 @@ class MultiMesh:
                 [attr(ei) for ei in self.edge_index_up])
 
 
+class MultiMeshSplit(MultiMesh):
+    """RandomMultiMeshSplitter semantics (utilities.py:786-1007): ONE
+    randperm shared by all splits; split i takes the level-0 window
+    perm[i*m0 : i*m0+m0] (wrapping mod n), levels 1+ continue after it;
+    the assembler scatters level-0 predictions into the full field
+    (later splits overwrite overlapping points)."""
+
+    def __init__(self, s, sample_sizes, generator):
+        super().__init__(s, sample_sizes, generator)
+        self.splits = self.n // self.m[0]
+        if self.splits * self.m[0] < self.n:
+            self.splits += 1
+        self.perm = None
+
+    def sample_window(self, new_sample, index0):
+        if new_sample or self.perm is None:
+            self.perm = torch.randperm(self.n,
+                                       generator=self.gen).numpy()
+        self.idx = []
+        index = index0
+        for l in range(self.level):
+            index = index % self.n
+            index_end = (index + self.m[l]) % self.n
+            if index < index_end:
+                idx = self.perm[index: index_end]
+            else:
+                idx = np.concatenate([self.perm[index:],
+                                      self.perm[:index_end]])
+            self.idx.append(idx)
+            index = index_end
+        if index0 < index_end:
+            self.idx_all = self.perm[index0: index_end]
+        else:
+            self.idx_all = np.concatenate([self.perm[index0:],
+                                           self.perm[:index_end]])
+        self.grid_sample = [self.grid[i] for i in self.idx]
+        self.grid_sample_all = self.grid[self.idx_all]
+        return self.idx, self.idx_all
+
+
 class MKGNGeneral(torch.nn.Module):
     """MKGN of MGKN_general_darcy2d.py:21-95 (see module docstring)."""
 
@@ -216,6 +256,47 @@ def build_graphs(enc, y_enc, s, args, gen):
     return graphs
 
 
+def run_full_field_eval(model, enc_te, sol_raw, u_norm, lp, s, args,
+                        gen, n_eval):
+    """Reference eval path (MGKN_general_darcy2d.py:306-332): split the
+    full s*s grid into rotating level-0 windows, predict each split,
+    assemble the decoded level-0 predictions into the full field, and
+    score rel-L2 against the RAW full solution."""
+    mesh = MultiMeshSplit(s, args.m, gen)
+    tt = lambda a: torch.tensor(a, dtype=torch.float32)
+    tl = lambda a: torch.tensor(np.ascontiguousarray(a),
+                                dtype=torch.long)
+    total = 0.0
+    with torch.no_grad():
+        for j in range(n_eval):
+            pred = np.zeros(mesh.n, dtype=np.float64)
+            index = 0
+            for i in range(mesh.splits):
+                mesh.sample_window(i == 0, index)
+                index = (index + mesh.m[0]) % mesh.n
+                ei_mid, ei_down, ei_up = mesh.connectivity(
+                    args.radius_inner, args.radius_inter)
+                a_mid, a_down, a_up = mesh.attributes(
+                    enc_te[0][j].numpy())
+                x = np.concatenate(
+                    [mesh.grid_sample_all]
+                    + [np.asarray(f[j])[mesh.idx_all][:, None]
+                       for f in enc_te], axis=1)
+                out = model(tt(x), [tl(e) for e in ei_mid],
+                            [tt(a) for a in a_mid],
+                            [tl(e) for e in ei_down],
+                            [tt(a) for a in a_down],
+                            [tl(e) for e in ei_up],
+                            [tt(a) for a in a_up])
+                idx0 = mesh.idx[0]
+                dec = u_norm.decode(out.view(1, -1),
+                                    sample_idx=tl(idx0).view(1, -1))
+                pred[idx0] = np.asarray(dec)[0]
+            total += float(lp(tt(pred).view(1, -1),
+                              sol_raw[j].view(1, -1)))
+    return total / n_eval
+
+
 def run_eval(model, graphs, u_norm, lp):
     total = 0.0
     with torch.no_grad():
@@ -251,6 +332,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--scheduler-step", type=int, default=10)
     ap.add_argument("--scheduler-gamma", type=float, default=0.8)
+    # full-field split/assemble eval samples (matches the JAX runner's
+    # _eval_mgkn_split n_eval = min(ntest, 5))
+    ap.add_argument("--full-field-n", type=int, default=5)
     args = ap.parse_args()
 
     torch.manual_seed(args.seed)
@@ -310,10 +394,16 @@ def main():
 
     test_l2 = run_eval(model, test_graphs, u_norm, lp)
     print(f"test rel_l2={test_l2:.5f}")
+    ff_gen = torch.Generator().manual_seed(args.seed * 15485863 + 3)
+    full_field_l2 = run_full_field_eval(
+        model, enc_te, te["sol"], u_norm, lp, s, args, ff_gen,
+        min(args.ntest, args.full_field_n))
+    print(f"full-field (split/assemble) rel_l2={full_field_l2:.5f}")
     result = {"protocol": "mgkn_general_oracle_ab", "side": "torch",
               "seed": args.seed, "config": vars(args),
               "train_l2": hist, "final_train_l2": hist[-1],
-              "final_test_l2": test_l2}
+              "final_test_l2": test_l2,
+              "full_field_l2": full_field_l2}
     print(json.dumps(result)[:200])
     if args.out:
         with open(args.out, "w") as f:
