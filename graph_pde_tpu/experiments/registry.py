@@ -41,6 +41,12 @@ class ExperimentConfig:
     radius_inner: Tuple[float, ...] = ()
     radius_inter: Tuple[float, ...] = ()
     lattice: bool = False             # GCN lattice graph
+    train_split: int = 0              # >0: train on DownsampleGridSplitter
+    #                                   shards of stride r=train_split
+    #                                   instead of Nystrom subsets
+    #                                   (UAI7_evaluate.py:131-141)
+    split_l: int = 1                  # RandomGridSplitter covers (UAI7
+    #                                   _evaluate2.py:152 uses l=2)
     # model
     width: int = 64
     ker_width: int = 256
@@ -112,6 +118,10 @@ class ExperimentConfig:
         }
         if self.nystrom_m:
             small["nystrom_m"] = min(self.nystrom_m, 48)
+        if self.train_split:
+            # keep the shard count (train_split^2 on the eval side)
+            # seconds-scale
+            small["train_split"] = min(self.train_split, 4)
         if self.points:
             small["points"] = tuple(
                 max(p // 8, 6) for p in self.points)
@@ -200,42 +210,57 @@ register(ExperimentConfig(
     ntest=40, nystrom_m=200, radius_train=0.25, width=64, ker_width=256,
     depth=4, kernel_variant="nn3", loss="mse", epochs=200, batch_size=2))
 
-# UAI5_sample_generalize.py: train-m vs test-m generalization, radius
-# 0.15; ReLU incl. last iteration (UAI5_sample_generalize.py:29).
+# UAI5_sample_generalize.py: train-m vs test-m generalization at s=121
+# (r=2), k=5 graphs/sample, radius 0.15, ker_width 1000, depth 6; ReLU
+# incl. last iteration (UAI5_sample_generalize.py:16-34, 44-67). The
+# reference's m=800 cell drops to batch 2 / 100 epochs (line 72-74) —
+# apply via --set when running that cell.
 register(ExperimentConfig(
-    name="uai5_sample_generalize", family="gkn", downsample=1, ntrain=100,
-    ntest=40, nystrom_m=400, radius_train=0.15, width=64, ker_width=256,
-    depth=4, kernel_variant="nn3", relu_last=True, loss="mse", epochs=200,
-    batch_size=2, eval_m=(100, 200, 400, 800)))
+    name="uai5_sample_generalize", family="gkn", downsample=2, ntrain=100,
+    ntest=100, nystrom_m=400, graphs_per_sample=5, radius_train=0.15,
+    width=64, ker_width=1000, depth=6, kernel_variant="nn3",
+    relu_last=True, loss="mse", epochs=200, batch_size=10,
+    eval_m=(100, 200, 400, 800)))
 
-# UAI6_sample_radius.py: m x radius sweep (0.05/0.15/0.4); ReLU incl.
-# last iteration (UAI6_sample_radius.py:29).
+# UAI6_sample_radius.py: m x radius sweep (100/200/400 x 0.05/0.15/0.4)
+# at s=121 (r=2), k=5, ker_width 1000, depth 6; ReLU incl. last
+# iteration (UAI6_sample_radius.py:14-75). Reference batch exceptions:
+# radius 0.4 pairs with batch 2 (m=400) / 5 (m=200) (lines 55-60).
 register(ExperimentConfig(
-    name="uai6_sample_radius", family="gkn", downsample=1, ntrain=100,
-    ntest=40, nystrom_m=200, radius_train=0.15, width=64, ker_width=256,
-    depth=4, kernel_variant="nn3", relu_last=True, loss="mse", epochs=200,
-    batch_size=2))
+    name="uai6_sample_radius", family="gkn", downsample=2, ntrain=100,
+    ntest=100, nystrom_m=200, graphs_per_sample=5, radius_train=0.15,
+    width=64, ker_width=1000, depth=6, kernel_variant="nn3",
+    relu_last=True, loss="mse", epochs=200, batch_size=10))
 
-# UAI7_evaluate.py: train subsampled 421 grid; full-grid eval via
-# DownsampleGridSplitter shards + gaussian smoothing.
+# UAI7_evaluate.py: train on DownsampleGridSplitter shards of the full
+# 421 grid (r=30 -> 15x15 subgrid + random fill to m=421,
+# UAI7_evaluate.py:43-80, 131-141); L1 backward on encoded u; full-grid
+# eval via the r^2=900 deterministic shards + sigma=1 gaussian
+# smoothing (lines 218-229).
 register(ExperimentConfig(
     name="uai7_evaluate", family="gkn", source_res=421, downsample=1,
-    ntrain=100, ntest=20, nystrom_m=421, radius_train=0.15, width=64,
-    ker_width=256, depth=4, kernel_variant="nn3", loss="mse", epochs=200,
-    batch_size=2, eval_protocol="split_downsample"))
+    ntrain=10, ntest=1, nystrom_m=421, graphs_per_sample=2,
+    radius_train=0.2, width=64, ker_width=1024, depth=6,
+    kernel_variant="nn3", loss="l1", epochs=20, batch_size=2,
+    train_split=30, eval_protocol="split_downsample"))
 
-# UAI7_evaluate2.py: same training; eval via RandomGridSplitter.
+# UAI7_evaluate2.py: same shard training; eval via RandomGridSplitter
+# l=2 covers (UAI7_evaluate2.py:152, 222-231).
 register(ExperimentConfig(
     name="uai7_evaluate2", family="gkn", source_res=421, downsample=1,
-    ntrain=100, ntest=20, nystrom_m=421, radius_train=0.15, width=64,
-    ker_width=256, depth=4, kernel_variant="nn3", loss="mse", epochs=200,
-    batch_size=2, eval_protocol="split_random"))
+    ntrain=10, ntest=1, nystrom_m=421, graphs_per_sample=2,
+    radius_train=0.2, width=64, ker_width=1024, depth=6,
+    kernel_variant="nn3", loss="l1", epochs=20, batch_size=2,
+    train_split=30, split_l=2, eval_protocol="split_random"))
 
-# UAI8_kernel.py: 5-layer kernel MLP ablation.
+# UAI8_kernel.py: 5-layer kernel MLP (nn5) width ablation at full
+# s=241 (r=1), m=200, k=2, radius 0.25, depth 6, ReLU except last
+# (UAI8_kernel.py:14-70); shipped sweep value ker_width=256.
 register(ExperimentConfig(
-    name="uai8_kernel", family="gkn", downsample=4, ntrain=100, ntest=40,
-    nystrom_m=200, radius_train=0.25, width=64, ker_width=256, depth=4,
-    kernel_variant="nn5", loss="mse", epochs=200, batch_size=2))
+    name="uai8_kernel", family="gkn", downsample=1, ntrain=100, ntest=100,
+    nystrom_m=200, graphs_per_sample=2, radius_train=0.25, width=64,
+    ker_width=256, depth=6, kernel_variant="nn5", loss="mse", epochs=200,
+    batch_size=5))
 
 # neurips1_GKN.py: the MGKN paper's GKN baseline (m=200, radius 0.2,
 # KernelNN3 depth 4) — the bench.py protocol.
