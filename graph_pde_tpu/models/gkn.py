@@ -111,14 +111,23 @@ def gkn_init(key, cfg: GKNConfig):
 
 def _gather_src(x, graph: Graph):
     """x[senders] with the scatter-free transpose when the builder
-    verified the sender-sorted span (ops/segment.py gather_rows_st —
-    XLA's scatter-add backward measured 35.9 vs 20.0 ms at E=1.2M)."""
-    from ..ops.segment import gather_rows, gather_rows_st
+    verified the sender-sorted span AND the edge stream is large enough
+    to amortize it (ops/segment.py use_sender_sort — default-on at all
+    scales regressed the bench epoch 27%, round-4 bisect)."""
+    from ..ops.segment import gather_rows, gather_rows_st, use_sender_sort
 
-    if graph.sender_perm is not None and graph.sender_span > 0:
+    if use_sender_sort(graph.sender_perm, graph.sender_span,
+                       graph.senders.shape[0]):
         return gather_rows_st(x, graph.senders, graph.sender_perm,
                               graph.sender_span)
     return gather_rows(x, graph.senders)
+
+
+def _use_ss(graph: Graph) -> bool:
+    from ..ops.segment import use_sender_sort
+
+    return use_sender_sort(graph.sender_perm, graph.sender_span,
+                           graph.senders.shape[0])
 
 
 def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
@@ -256,7 +265,8 @@ def gkn_apply(params, cfg: GKNConfig, graph: Graph) -> jnp.ndarray:
             root=params.get("root"), bias=params.get("bias"),
             impl=cfg.impl, compute_dtype=dtype,
             node_block=graph.node_block, sorted_span=graph.sorted_span,
-            sender_sort=(graph.sender_perm, graph.sender_span))
+            sender_sort=(graph.sender_perm, graph.sender_span)
+            if _use_ss(graph) else None)
         if t != cfg.depth - 1 or cfg.relu_last:
             x = jax.nn.relu(x)
     return _gkn_decode(params, cfg, x)

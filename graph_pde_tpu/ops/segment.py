@@ -276,6 +276,24 @@ def gather_rows_st(x, senders, sender_perm, sender_span: int):
     return _gather_rows_st(x, senders, sender_perm, sender_span)
 
 
+# Minimum per-graph (padded) edge count for the sender-sorted gather to
+# pay for itself. Measured (round-4 bisect of the BENCH_r03 regression,
+# real v5e): at bench scale (E=4.6k/graph, vmapped batch 20) default-on
+# sender-sort REGRESSED the GKN epoch 27% (0.0728 -> 0.0928 s) — the
+# permutation gather + block-reduce machinery don't amortize on small
+# graphs; at E=1.2M it wins ~3% (PERF_NOTES round 3). Threshold set at
+# the smallest scale where a win was measured being conservative about
+# the unmeasured middle.
+SENDER_SORT_MIN_E = 1 << 19  # 524288
+
+
+def use_sender_sort(sender_perm, sender_span: int, e: int) -> bool:
+    """Central gate for the scatter-free sender-sorted gather: requires
+    the builder-verified span AND a large enough edge stream."""
+    return (sender_perm is not None and sender_span > 0
+            and e >= SENDER_SORT_MIN_E)
+
+
 __all__ = [
     "segment_sum",
     "masked_segment_sum",
@@ -285,4 +303,6 @@ __all__ = [
     "segment_degrees",
     "gather_rows",
     "gather_rows_st",
+    "use_sender_sort",
+    "SENDER_SORT_MIN_E",
 ]
