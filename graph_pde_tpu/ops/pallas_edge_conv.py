@@ -277,7 +277,7 @@ def _sel_qt_omj(in_channels, out_channels, c0, chunk, dtype):
 
 
 def _fwd_kernel_omj(in_channels, out_channels, n_small, chunk, n_chunks,
-                    dtype, *refs):
+                    dtype, qt_slices, *refs):
     x_ref, a_ref = refs[0], refs[1]
     wb_small = refs[2: 2 + 2 * n_small]
     wl_ref = refs[2 + 2 * n_small]
@@ -286,9 +286,27 @@ def _fwd_kernel_omj(in_channels, out_channels, n_small, chunk, n_chunks,
 
     h = _small_forward(a_ref[:], wb_small, n_small, dtype)
     sel_dtype = dtype or jnp.float32
-    xrep = _tile_lanes(x_ref[:], chunk // in_channels)
+    noc = chunk // in_channels
+    xrep = _tile_lanes(x_ref[:], noc)
     if dtype is not None:
         xrep = xrep.astype(dtype)
+    if qt_slices:
+        # MFU probe (round-4): the QTo GEMM contracts chunk-deep but
+        # emits only out_channels lanes (half-rate on the 128-wide
+        # MXU, ~1/3 of kernel MXU cycles). This form replaces it with
+        # VPU cross-lane slice sums: msg[:, o] = sum_i v[:, o*in+i].
+        parts = []
+        for ci in range(n_chunks):
+            c0 = ci * chunk
+            h3c = _dot(h, wl_ref[:, c0: c0 + chunk], dtype) \
+                + bl_ref[:, c0: c0 + chunk]
+            v = h3c * xrep
+            for oo in range(noc):
+                parts.append(jnp.sum(
+                    v[:, oo * in_channels: (oo + 1) * in_channels],
+                    axis=1, keepdims=True))
+        msg_ref[:] = jnp.concatenate(parts, axis=1)
+        return
     acc = jnp.zeros_like(msg_ref)
     for ci in range(n_chunks):
         c0 = ci * chunk
@@ -484,7 +502,7 @@ def _pad_e(arr, e_pad):
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                   dtype_name, interpret, chunk=None,
                   dim_semantics=True, resident=False, layout="i",
-                  merged_bwd=False):
+                  merged_bwd=False, fwd_qt="gemm"):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -562,7 +580,8 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
             blp = flat[2 * n_small + 1][:, perm]
             kernel = functools.partial(_fwd_kernel_omj, in_channels,
                                        out_channels, n_small, chunk,
-                                       n_chunks, dtype)
+                                       n_chunks, dtype,
+                                       fwd_qt == "slices")
             msg = pl.pallas_call(
                 kernel,
                 grid=(e_pad // block_e,),
@@ -848,8 +867,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
-                        layout=None, merged_bwd=False, sender_sort=None,
-                        interpret=None):
+                        layout=None, merged_bwd=False, fwd_qt="gemm",
+                        sender_sort=None, interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
 
@@ -950,7 +969,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     fused = _get_fused_fn(dims, in_channels, out_channels, block_e,
                           dtype_name, interpret, chunk=chunk,
                           dim_semantics=dim_semantics, resident=resident,
-                          layout=layout, merged_bwd=merged_bwd)
+                          layout=layout, merged_bwd=merged_bwd,
+                          fwd_qt=fwd_qt if layout == "o" else "gemm")
     from .segment import gather_rows, gather_rows_st
 
     flat = tuple(_flatten_params(kernel_params))

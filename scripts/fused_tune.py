@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--omajor", action="store_true",
                     help="o-major layout arms vs resident i-major best")
+    ap.add_argument("--fwdqt", action="store_true",
+                    help="round-4 MFU probe: o-major fwd QTo GEMM vs "
+                         "VPU slice-sum form at the best tile combos")
     args = ap.parse_args()
 
     import jax
@@ -60,37 +63,44 @@ def main():
         return dt1 * 1000 / iters
 
     results = {}
-    if args.omajor:
+    if args.fwdqt:
+        combos = [(512, 512, True, True, "o", qt)
+                  for qt in ("gemm", "slices")]
+        combos += [(512, 256, True, True, "o", "slices"),
+                   (512, 1024, True, True, "o", "slices")]
+    elif args.omajor:
         # o-major layout arms (resident) vs the round-3 resident best
-        combos = [(512, 1024, True, True, "i"), (1024, 512, True, True, "i")]
-        combos += [(be, ch, True, True, "o")
+        combos = [(512, 1024, True, True, "i", "gemm"),
+                  (1024, 512, True, True, "i", "gemm")]
+        combos += [(be, ch, True, True, "o", "gemm")
                    for be in (256, 512, 1024)
                    for ch in (256, 512, 1024)]
     else:
-        combos = [(be, ch, ds, False, "i")
+        combos = [(be, ch, ds, False, "i", "gemm")
                   for be in ((512, 1024) if args.quick
                              else (256, 512, 1024, 2048))
                   for ch in ((1024, 2048) if args.quick
                              else (1024, 2048, 4096))
                   for ds in (True, False)]
         # Wl-resident variants (whole last layer in VMEM, single E grid)
-        combos += [(be, ch, True, True, "i")
+        combos += [(be, ch, True, True, "i", "gemm")
                    for be in (256, 512, 1024)
                    for ch in (512, 1024, 2048)]
-    for block_e, chunk, ds, res, lay in combos:
+    for block_e, chunk, ds, res, lay, fqt in combos:
         if chunk > w * w:
             continue
         label = (f"be={block_e} ch={chunk} ds={int(ds)}"
-                 + (" RES" if res else "") + (" OMJ" if lay == "o" else ""))
+                 + (" RES" if res else "") + (" OMJ" if lay == "o" else "")
+                 + (" QTSL" if fqt == "slices" else ""))
 
         def fwd_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                     _ds=ds, _res=res, _lay=lay):
+                     _ds=ds, _res=res, _lay=lay, _fqt=fqt):
             def body(carry, _):
                 msg = fused_edge_messages(
                     carry, senders, attr, kp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
                     block_e=_be, chunk=_ch, dim_semantics=_ds,
-                    resident=_res, layout=_lay)
+                    resident=_res, layout=_lay, fwd_qt=_fqt)
                 # carry a dependency: fold messages back into x
                 nxt = carry + 1e-12 * msg[: carry.shape[0]]
                 return nxt, ()
@@ -99,13 +109,13 @@ def main():
             return out
 
         def step_loop(x, senders, attr, kp, _be=block_e, _ch=chunk,
-                      _ds=ds, _res=res, _lay=lay):
+                      _ds=ds, _res=res, _lay=lay, _fqt=fqt):
             def one(xx, kpp):
                 msg = fused_edge_messages(
                     xx, senders, attr, kpp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
                     block_e=_be, chunk=_ch, dim_semantics=_ds,
-                    resident=_res, layout=_lay)
+                    resident=_res, layout=_lay, fwd_qt=_fqt)
                 return jnp.sum(msg * msg)
 
             def body(carry, _):

@@ -155,7 +155,9 @@ def test_fused_variants_match():
                 # block form, which holds fewer slabs but Mosaic-compile
                 # times out at real grids — kept covered for re-probes
                 dict(resident=True, layout="o", merged_bwd=True),
-                dict(resident=True, layout="o", merged_bwd="noscr")]
+                dict(resident=True, layout="o", merged_bwd="noscr"),
+                # round-4 MFU probe: QTo GEMM replaced by VPU slice sums
+                dict(resident=True, layout="o", fwd_qt="slices")]
     for kw in variants:
         out = fused_edge_messages(x, senders, attr, kparams,
                                   in_channels=w, out_channels=w,
@@ -217,6 +219,20 @@ def test_scatter_free_gather_transpose_matches():
     gr = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_use_sender_sort_gate():
+    """The sender-sorted gather must stay off below SENDER_SORT_MIN_E:
+    default-on at bench scale regressed the epoch 27% (round-4 bisect,
+    PERF_NOTES)."""
+    from graph_pde_tpu.ops.segment import (use_sender_sort,
+                                           SENDER_SORT_MIN_E)
+
+    perm = jnp.arange(8)
+    assert not use_sender_sort(None, 4, SENDER_SORT_MIN_E)
+    assert not use_sender_sort(perm, 0, SENDER_SORT_MIN_E)
+    assert not use_sender_sort(perm, 4, SENDER_SORT_MIN_E - 1)
+    assert use_sender_sort(perm, 4, SENDER_SORT_MIN_E)
 
 
 def test_fused_messages_sender_sort_grads_match():
