@@ -867,7 +867,7 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         in_channels: int, out_channels: int,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
-                        layout=None, merged_bwd=False, fwd_qt="gemm",
+                        layout=None, merged_bwd=None, fwd_qt="gemm",
                         sender_sort=None, interpret=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
@@ -902,6 +902,13 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     auto_block = block_e is None
     if layout == "o" and not auto_chunk and chunk % in_channels:
         layout = "i"
+    if merged_bwd is None:
+        # single-pass merged backward measured fastest wherever it
+        # dispatches (round-4 TPU timing, E=1.2M kw=256:
+        # split 118.8 / st-gather 115.2 / merged 113.9 / merged+st
+        # 108.7 ms — scripts/fused_bwd_breakdown.py); pass False to pin
+        # the split kernels
+        merged_bwd = layout == "o"
     if resident and auto_chunk:
         # measured best at uai4 scale (fused_tune round 3): small chunks
         # win once Wl is resident — the chunk loop is in-kernel, so
