@@ -344,7 +344,7 @@ def pallas_selfcheck(graphs):
     return errs
 
 
-def _arm_watchdog(seconds=2700):
+def _arm_watchdog(seconds=3300):
     """If the axon tunnel is dead, every dispatch hangs forever (round-3
     outage: relay ports closed; even an 8x8 matmul never returns). Emit
     an HONEST error JSON and exit non-zero instead of hanging the
