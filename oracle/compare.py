@@ -1,12 +1,12 @@
 """Summarizes the oracle convergence A/B (docs/ORACLE.md): reads the
-per-seed torch/jax result JSONs from results/oracle/ and prints the
+per-seed torch/jax result JSONs from evidence/oracle/ and prints the
 comparison table with across-seed spread.
 
 Verdict rule: |mean_jax - mean_torch| <= max spread of either side
 (the two implementations cannot share RNG streams, so agreement within
 seed noise is the strongest available statement).
 
-Usage: python -m oracle.compare [--dir results/oracle]
+Usage: python -m oracle.compare [--dir evidence/oracle]
 """
 from __future__ import annotations
 
@@ -17,11 +17,20 @@ import json
 import numpy as np
 
 
+# torch-side files use the full module name for the orthogonal MGKN
+_ALIASES = {"mgkn": ("mgkn", "mgkn_orthogonal")}
+
+
 def collect(dirname, protocol, side):
     out = []
-    for path in sorted(glob.glob(f"{dirname}/{protocol}_{side}_s*.json")):
-        with open(path) as f:
-            out.append(json.load(f))
+    seen = set()
+    for name in _ALIASES.get(protocol, (protocol,)):
+        for path in sorted(glob.glob(f"{dirname}/{name}_{side}_s*.json")):
+            if path in seen:
+                continue
+            seen.add(path)
+            with open(path) as f:
+                out.append(json.load(f))
     return out
 
 
@@ -29,9 +38,10 @@ def spread(vals):
     return max(vals) - min(vals) if len(vals) > 1 else 0.0
 
 
-def summarize(dirname, protocol, metrics):
+def summarize(dirname, protocol, metrics, jax_side="jax"):
     rows = []
-    sides = {s: collect(dirname, protocol, s) for s in ("torch", "jax")}
+    sides = {"torch": collect(dirname, protocol, "torch"),
+             "jax": collect(dirname, protocol, jax_side)}
     for label, getter in metrics:
         vals = {}
         for side, runs in sides.items():
@@ -51,7 +61,7 @@ def summarize(dirname, protocol, metrics):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="results/oracle")
+    ap.add_argument("--dir", default="evidence/oracle")
     args = ap.parse_args()
 
     protos = {
@@ -71,15 +81,24 @@ def main():
         "mgkn_general": [
             ("final train rel-L2", lambda r: r.get("final_train_l2")),
             ("final test rel-L2", lambda r: r.get("final_test_l2")),
+            # round-4: the reference's split -> predict -> assemble
+            # full-field eval (verdict item 5)
+            ("full-field rel-L2", lambda r: r.get("full_field_l2")),
         ],
     }
+    # production-numerics rows (round-4, verdict item 8): the same torch
+    # seeds vs the JAX side at the configurations the bench numbers use
+    jobs = [(p, m, "jax") for p, m in protos.items()]
+    jobs += [("uai3 [jax bf16]", protos["uai3"], "jax_bf16"),
+             ("uai3 [jax pallas]", protos["uai3"], "jax_pallas")]
     all_ok = True
-    for proto, metrics in protos.items():
-        rows = summarize(args.dir, proto, metrics)
+    for label, metrics, jside in jobs:
+        proto = label.split(" ")[0]
+        rows = summarize(args.dir, proto, metrics, jax_side=jside)
         if not rows:
-            print(f"{proto}: no results yet")
+            print(f"{label}: no results yet")
             continue
-        print(f"\n== {proto} (torch n={rows[0][7]}, jax n={rows[0][8]})")
+        print(f"\n== {label} (torch n={rows[0][7]}, jax n={rows[0][8]})")
         print(f"{'metric':24} {'torch':>8} {'±sprd':>7} {'jax':>8} "
               f"{'±sprd':>7} {'|Δ|':>7}  verdict")
         for (label, mt, st, mj, sj, d, ok, *_ ) in rows:
