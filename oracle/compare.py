@@ -90,7 +90,10 @@ def main():
     # seeds vs the JAX side at the configurations the bench numbers use
     jobs = [(p, m, "jax") for p, m in protos.items()]
     jobs += [("uai3 [jax bf16]", protos["uai3"], "jax_bf16"),
-             ("uai3 [jax pallas]", protos["uai3"], "jax_pallas")]
+             ("uai3 [jax pallas]", protos["uai3"], "jax_pallas"),
+             # production width/depth (w=64, kw=256, depth=5) A/B —
+             # round-3 weak item 6
+             ("mgkn_general64", protos["mgkn_general"], "jax")]
     all_ok = True
     for label, metrics, jside in jobs:
         proto = label.split(" ")[0]

@@ -77,6 +77,12 @@ def main():
     ap.add_argument("--impl", default=None,
                     choices=(None, "kcached", "pallas", "scan",
                              "reference"))
+    # model-scale overrides (round-3 weak item 6: at least one protocol
+    # at production width/depth — pass the same values to the torch
+    # runner's --width/--ker-width/--depth)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--ker-width", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -94,6 +100,12 @@ def main():
         overrides["compute_dtype"] = args.compute_dtype
     if args.impl:
         overrides["impl"] = args.impl
+    if args.width:
+        overrides["width"] = args.width
+    if args.ker_width:
+        overrides["ker_width"] = args.ker_width
+    if args.depth:
+        overrides["depth"] = args.depth
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     res = run_experiment(cfg)
