@@ -64,6 +64,9 @@ def main():
 
     results = {}
     if args.fwdqt:
+        # fwd-only probe: pin merged_bwd=False below (explicit be=512
+        # tiles exceed the merged kernel's VMEM budget) and skip the
+        # step arm — the QTo form does not change the backward
         combos = [(512, 512, True, True, "o", qt)
                   for qt in ("gemm", "slices")]
         combos += [(512, 256, True, True, "o", "slices"),
@@ -100,7 +103,8 @@ def main():
                     carry, senders, attr, kp, in_channels=w,
                     out_channels=w, compute_dtype="bfloat16",
                     block_e=_be, chunk=_ch, dim_semantics=_ds,
-                    resident=_res, layout=_lay, fwd_qt=_fqt)
+                    resident=_res, layout=_lay, fwd_qt=_fqt,
+                    merged_bwd=(False if args.fwdqt else None))
                 # carry a dependency: fold messages back into x
                 nxt = carry + 1e-12 * msg[: carry.shape[0]]
                 return nxt, ()
@@ -134,7 +138,8 @@ def main():
 
         try:
             t_fwd = time_fn(fwd_loop, x, senders, attr, kparams)
-            t_step = time_fn(step_loop, x, senders, attr, kparams)
+            t_step = (float("nan") if args.fwdqt
+                      else time_fn(step_loop, x, senders, attr, kparams))
         except Exception as ex:  # VMEM OOM etc. — record and move on
             print(f"{label}: FAILED {type(ex).__name__}: "
                   f"{str(ex)[:120]}", flush=True)
@@ -143,6 +148,9 @@ def main():
         print(f"{label}: fwd {t_fwd:.2f} ms  fwd+bwd {t_step:.2f} ms",
               flush=True)
 
+    if not results:
+        print("no arms succeeded")
+        return
     best_f = min(results.items(), key=lambda kv: kv[1][0])
     best_s = min(results.items(), key=lambda kv: kv[1][1])
     print(f"BEST fwd: {best_f[0]} {best_f[1][0]:.2f} ms")
