@@ -58,7 +58,12 @@ def run_sweep(name: str, axes: Dict[str, Sequence] = None,
             # blanket shrink would otherwise clobber it and every
             # point would silently run the same config
             cfg = dataclasses.replace(cfg.smoke(), **swept)
-        res = run_experiment(cfg, smoke=False)
+        try:
+            res = run_experiment(cfg, smoke=False)
+        except Exception as ex:  # e.g. HBM OOM on the biggest cell —
+            # record the failure, keep the completed cells
+            res = {"config": cfg.name,
+                   "error": f"{type(ex).__name__}: {str(ex)[:300]}"}
         res.pop("params", None)
         res.pop("_bundle", None)
         res["swept"] = swept
