@@ -300,14 +300,21 @@ register(ExperimentConfig(
     depth=4, mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
     learning_rate=1e-3, scheduler_step=10, scheduler_gamma=0.8))
 
-# neurips2_MGKN.py: level-count ablation (single level); lr = 0.1/ntrain,
-# StepLR(10, 0.8) (neurips2_MGKN.py:152-154).
+# neurips2_MGKN.py: level-count ablation. The shipped case (case==0,
+# neurips2_MGKN.py:130-133) is the single-level forward on m=[25,25] at
+# full s=241: only K_00 runs (lines 74-78; the multilevel loop is
+# commented out). Multilevel counterparts for the ablation table are the
+# script's own commented cases — run via --set, e.g.
+#   points=[1600,400,100] radius_inner=[0.0625,0.125,0.25]
+#   radius_inter=[0.088125,0.17625] mgkn_variant=induced  (case==1)
+# lr = 0.1/ntrain, StepLR(10, 0.8) (neurips2_MGKN.py:152-154).
 register(ExperimentConfig(
-    name="neurips2_mgkn", family="mgkn_general", downsample=4, ntrain=100,
-    ntest=100, points=(200, 100), radius_inner=(0.05, 0.1),
-    radius_inter=(0.04,), width=64, ker_width=256, depth=4,
-    mgkn_variant="induced", loss="rel2", epochs=200, batch_size=1,
-    learning_rate=1e-3, scheduler_step=10, scheduler_gamma=0.8))
+    name="neurips2_mgkn", family="mgkn_general", source_res=241,
+    downsample=1, ntrain=100, ntest=100, points=(25, 25),
+    radius_inner=(0.5, 0.125), radius_inter=(0.088125,), width=64,
+    ker_width=256, depth=4, mgkn_variant="single", loss="rel2",
+    epochs=200, batch_size=1, learning_rate=1e-3, scheduler_step=10,
+    scheduler_gamma=0.8))
 
 # neurips3_MGKN.py: resolution generalization, m=[400,100,25];
 # lr = 0.1/ntrain, StepLR(10, 0.8) (neurips3_MGKN.py:127-129).
@@ -330,11 +337,18 @@ register(ExperimentConfig(
 
 # ----------------------------------------------------------------- GCN
 
-# neurips4_GCN.py: GCN baseline on the 4-neighbor lattice of the 421 grid.
+# neurips4_GCN.py: GCN negative control on the 4-neighbor lattice of the
+# full 421 grid (neurips4_GCN.py:62-86): width 128, ker_width 1024,
+# depth 4 (16 GCNConv applications), epochs 51, lr 1e-4, StepLR(10,
+# 0.85), decoded-rel-L2 backward, unit normalizer. The reference trains
+# ntrain=1024; the 421-grid lattice is sample-independent so the runner
+# shares ONE edge structure across the stacked batch (the TPU-native
+# layout — the reference re-ships edge_index per Data object).
 register(ExperimentConfig(
     name="neurips4_gcn", family="gcn", source_res=421, downsample=1,
-    ntrain=100, ntest=100, lattice=True, width=128, ker_width=256, depth=1,
-    loss="mse", epochs=200, batch_size=1))
+    ntrain=1024, ntest=100, lattice=True, width=128, ker_width=1024,
+    depth=4, loss="rel2", u_norm="unit", epochs=51, batch_size=1,
+    learning_rate=1e-4, scheduler_step=10, scheduler_gamma=0.85))
 
 
 __all__ = ["ExperimentConfig", "register", "get", "names"]

@@ -540,42 +540,89 @@ def _divisor_near(n: int, m: int) -> int:
 # ------------------------------------------------------------------ GCN
 
 def _run_gcn(cfg: ExperimentConfig, progress=None) -> Dict:
+    """neurips4_GCN.py protocol: GCN on the full-grid 4-neighbor lattice,
+    decoded-rel-L2 backward (lines 178-198), held-out test eval (lines
+    205-216). The lattice is sample-independent, so ONE template Graph
+    carries the edge structure and the stacked data is a NodeBatch —
+    see GCNTask.template."""
+    import copy
+
     import jax
-    from ..graph import grid_edge, build_graph, stack_graphs
+    import jax.numpy as jnp
+    from ..graph import grid_edge, build_graph
+    from ..graph.graph import NodeBatch
     from ..models import GCNConfig, gcn_init
     from ..train import GCNTask, TrainConfig, fit
 
-    fields = _load_darcy_fields(cfg, cfg.ntrain + cfg.ntest, cfg.data_path,
+    fields = _load_darcy_fields(cfg, cfg.ntrain, cfg.data_path,
                                 cfg.data_seed)
     arrays, norms = prepare_darcy(fields, n=cfg.ntrain, r=cfg.downsample,
                                   u_norm=cfg.u_norm)
+    test_fields = _load_darcy_fields(cfg, cfg.ntest, cfg.test_data_path,
+                                     cfg.data_seed + 1)
+    test_arrays, _ = prepare_darcy(
+        test_fields, n=cfg.ntest, r=cfg.downsample, normalizers=norms,
+        u_normalizer=arrays.u_normalizer)
+    test_arrays.u = np.asarray(arrays.u_normalizer.encode(test_arrays.u))
     s = arrays.s
+    n = s * s
 
-    def build(arr, j):
-        theta = arr.a[j]
-        X, ei, ea = grid_edge(s, s, theta)
-        x = np.concatenate([
-            X, theta[:, None], arr.a_smooth[j][:, None],
-            arr.a_gradx[j][:, None], arr.a_grady[j][:, None]], axis=1)
-        return build_graph(x, ei[0], ei[1], ea, y=arr.u[j],
-                           sample_idx=np.arange(s * s))
+    # GCNConv ignores edge attributes — build the lattice once, unweighted
+    X, ei, _ = grid_edge(s, s)
+    # blocked-CSR aggregation for large grids (ops/segment.py
+    # blocked_segment_mean — the s=421 lattice is 177k nodes, where the
+    # XLA scatter serializes); small grids keep the flat one-hot path
+    node_block = 512 if n >= 60000 else 0
+    tpl = build_graph(np.zeros((n, 6), np.float32), ei[0], ei[1],
+                      np.zeros((ei.shape[1], 1), np.float32),
+                      node_block=node_block)
+    n_pad = tpl.num_nodes_padded
+    tpl = jax.device_put(tpl)
 
-    train_g = stack_graphs([build(arrays, j) for j in range(cfg.ntrain)])
+    def stack(arr, count):
+        xs = np.zeros((count, n_pad, 6), np.float32)
+        ys = np.zeros((count, n_pad, 1), np.float32)
+        for j in range(count):
+            xs[j, :n] = np.concatenate([
+                X, arr.a[j][:, None], arr.a_smooth[j][:, None],
+                arr.a_gradx[j][:, None], arr.a_grady[j][:, None]], axis=1)
+            ys[j, :n, 0] = arr.u[j]
+        return NodeBatch(x=xs, y=ys,
+                         n_node=np.full((count,), n, np.int32))
+
+    train_b = stack(arrays, cfg.ntrain)
+    test_b = stack(test_arrays, cfg.ntest)
+
+    # decode() runs on padded [B, N_pad] fields: extend the fitted
+    # normalizer's per-node stats into the padding (mask zeroes those
+    # nodes out of the loss/metric anyway)
+    u_norm_pad = copy.copy(arrays.u_normalizer)
+    pad = n_pad - n
+    if pad:
+        u_norm_pad.mean = jnp.concatenate(
+            [jnp.asarray(u_norm_pad.mean), jnp.zeros((pad,))])
+        u_norm_pad.std = jnp.concatenate(
+            [jnp.asarray(u_norm_pad.std), jnp.ones((pad,))])
+
     mcfg = GCNConfig(width=cfg.width, ker_width=cfg.ker_width,
                      depth=cfg.depth, in_width=6)
     params = gcn_init(jax.random.PRNGKey(cfg.seed), mcfg)
-    task = GCNTask(mcfg, u_normalizer=arrays.u_normalizer,
-                   loss_type=cfg.loss,
-                   use_sample_idx=cfg.u_norm == "unit")
+    task = GCNTask(mcfg, u_normalizer=u_norm_pad, loss_type=cfg.loss,
+                   use_sample_idx=False, template=tpl)
     tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
                      learning_rate=cfg.learning_rate,
                      weight_decay=cfg.weight_decay,
                      scheduler_step=cfg.scheduler_step,
                      scheduler_gamma=cfg.scheduler_gamma, loss=cfg.loss,
                      seed=cfg.seed, epochs_per_jit=cfg.epochs_per_jit)
-    res = fit(task, params, train_g, tc, callback=progress)
+    res = fit(task, params, train_b, tc, test_data=test_b,
+              callback=progress)
     return {"config": cfg.name, "train_l2": res.train_l2,
-            "epoch_times": res.epoch_times, "params": res.params}
+            "test_l2": res.test_l2, "test_epochs": res.test_epochs,
+            "final_test_l2": res.test_l2[-1] if res.test_l2 else None,
+            "epoch_times": res.epoch_times, "params": res.params,
+            "extra": {"family": "gcn", "s": s,
+                      "node_block": node_block}}
 
 
 # ---------------------------------------------------------------- MGKN

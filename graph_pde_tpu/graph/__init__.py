@@ -1,5 +1,6 @@
 from .graph import (
     Graph,
+    NodeBatch,
     MultiLevelGraph,
     build_graph,
     build_multilevel_graph,

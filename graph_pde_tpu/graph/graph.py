@@ -518,8 +518,26 @@ def pad_capacities(graphs) -> tuple:
     return n_max, e_max
 
 
+@struct.dataclass
+class NodeBatch:
+    """Per-sample node data riding on a SHARED edge structure.
+
+    The layout for sample-independent connectivity: the full-grid
+    lattice of neurips4_GCN.py:133 is the same for every sample, so
+    stacking per-sample ``Graph``s would ship identical [E, 2] index
+    arrays n_train times (~6 GB at s=421, n=1024). Instead one template
+    ``Graph`` holds the structure (closure-captured into the jit) and
+    the stacked dataset carries only what varies: node features,
+    targets, and the valid-node count."""
+
+    x: jnp.ndarray            # [B, N_pad, F]
+    y: jnp.ndarray            # [B, N_pad, out]
+    n_node: jnp.ndarray       # [B]
+
+
 __all__ = [
     "Graph",
+    "NodeBatch",
     "MultiLevelGraph",
     "build_graph",
     "build_multilevel_graph",

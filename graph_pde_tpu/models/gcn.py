@@ -17,19 +17,35 @@ import jax.numpy as jnp
 
 from ..graph.graph import Graph
 from ..ops.dense import linear_init
-from ..ops.segment import masked_segment_sum, segment_degrees, gather_rows
+from ..ops.segment import (
+    blocked_segment_mean, masked_segment_sum, segment_degrees, gather_rows,
+)
 
 
-def gcn_conv(x, senders, receivers, edge_mask, layer, n_node):
-    """One GCNConv: [N, in] -> [N, out]."""
+def gcn_conv(x, senders, receivers, edge_mask, layer, n_node,
+             inv_sqrt=None, inv_deg=None, node_block: int = 0):
+    """One GCNConv: [N, in] -> [N, out].
+
+    ``inv_sqrt``/``inv_deg`` are the (structural, conv-invariant)
+    normalized-degree terms — pass them precomputed when applying many
+    convs on one graph (gcn_apply computes them once per forward; the
+    reference recomputes them inside every GCNConv call). With
+    ``node_block`` set the aggregation takes the blocked-CSR one-hot
+    path (bounded at any N — the full-421-grid lattice's layout)."""
     n = x.shape[0]
+    if inv_sqrt is None:
+        deg = segment_degrees(receivers, edge_mask, n) + 1.0  # +1 self loop
+        inv_sqrt = jax.lax.rsqrt(deg)
+        inv_deg = 1.0 / deg
     xw = x @ layer["w"]
-    deg = segment_degrees(receivers, edge_mask, n) + 1.0  # +1 self loop
-    inv_sqrt = jax.lax.rsqrt(deg)
     # mask out padded nodes' degree terms cleanly (deg>=1 always, no NaN)
     msg = gather_rows(xw, senders) * (inv_sqrt[senders] * edge_mask)[:, None]
-    agg = masked_segment_sum(msg, receivers, edge_mask, n)
-    out = inv_sqrt[:, None] * agg + (1.0 / deg)[:, None] * xw
+    if node_block:
+        agg = blocked_segment_mean(msg, receivers, edge_mask, n,
+                                   node_block, aggr="sum")
+    else:
+        agg = masked_segment_sum(msg, receivers, edge_mask, n)
+    out = inv_sqrt[:, None] * agg + inv_deg[:, None] * xw
     return out + layer["b"]
 
 
@@ -56,12 +72,23 @@ def gcn_init(key, cfg: GCNConfig):
 
 def gcn_apply(params, cfg: GCNConfig, graph: Graph) -> jnp.ndarray:
     x = graph.x @ params["fc_in"]["w"] + params["fc_in"]["b"]
-    mask = graph.edge_mask()
+    mask = graph.edge_mask().astype(x.dtype)
     n = int(graph.num_nodes_padded)
+    nb = graph.node_block
+    # normalized degrees are structural: compute ONCE per forward and
+    # share across all depth*4 conv applications
+    if nb:
+        deg = blocked_segment_mean(mask[:, None], graph.receivers, mask,
+                                   n, nb, aggr="sum")[:, 0] + 1.0
+    else:
+        deg = segment_degrees(graph.receivers, mask, n) + 1.0
+    inv_sqrt = jax.lax.rsqrt(deg)
+    inv_deg = 1.0 / deg
     for _ in range(cfg.depth):
         for conv in params["convs"]:
             x = jax.nn.relu(gcn_conv(x, graph.senders, graph.receivers,
-                                     mask, conv, n))
+                                     mask, conv, n, inv_sqrt=inv_sqrt,
+                                     inv_deg=inv_deg, node_block=nb))
     x = jax.nn.relu(x @ params["fc_out1"]["w"] + params["fc_out1"]["b"])
     return x @ params["fc_out2"]["w"] + params["fc_out2"]["b"]
 

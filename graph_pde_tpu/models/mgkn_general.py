@@ -9,6 +9,11 @@ Covers both reference variants:
   the finest level.
 - ``KernelInduced`` (neurips1_MGKN.py:20-89): K_ll applied as a residual on
   the full node array with ReLU, all convs root_weight=False, bias=False.
+- ``single`` (neurips2_MGKN.py:74-78): the level-count ablation's shipped
+  forward — only the finest level's K_00 runs (residual + ReLU) each
+  depth iteration; the coarse levels and the down/up convs are built but
+  never touched (the reference keeps their parameters, commented loop at
+  neurips2_MGKN.py:79-91).
 
 Per-level kernel widths halve (``ker_width // 2**l``), mid kernels have two
 hidden layers, down/up kernels one (MGKN_general_darcy2d.py:43-62).
@@ -38,7 +43,8 @@ class MGKNGeneralConfig:
     in_width: int = 6
     out_width: int = 1
     points: Tuple[int, ...] = (400, 100, 25)  # per-level node counts
-    variant: str = "mkgn"  # 'mkgn' (flagship) | 'induced' (neurips1)
+    variant: str = "mkgn"  # 'mkgn' (flagship) | 'induced' (neurips1) |
+    #                        'single' (neurips2 level ablation)
     impl: str = "auto"
     compute_dtype: Optional[str] = None
     # kcached only: fp8 STE storage of the cached kernel matrices (the
@@ -144,6 +150,14 @@ def _precompute_kernels(params, cfg, g: MultiLevelGraph):
                                 cfg.k_storage)
 
     level = cfg.level
+    if cfg.variant == "single":
+        # only K_00 ever dispatches; don't cache dead kernels
+        return {
+            "down": [],
+            "mid": [kap(params["conv_mid"][0], g.mid_attr,
+                        g.mid_ranges, 0)],
+            "up": [],
+        }
     return {
         "down": [kap(params["conv_down"][l], g.down_attr, g.down_ranges, l)
                  for l in range(level - 1)],
@@ -169,6 +183,16 @@ def mgkn_general_apply(params, cfg: MGKNGeneralConfig,
         return kks[kind][l] if kks is not None else None
 
     for _ in range(cfg.depth):
+        if cfg.variant == "single":
+            # neurips2_MGKN.py:74-78: residual K_00 on the finest
+            # level's slice + ReLU on the full array; no down/up pass
+            x_slice = x[offs[0]:offs[1]]
+            delta = _conv(x_slice, g.mid_senders, g.mid_receivers,
+                          g.mid_attr, g.mid_mask, params["conv_mid"][0],
+                          cfg, g.mid_ranges, 0, kk=kk_of("mid", 0))
+            x = x.at[offs[0]:offs[1]].add(delta)
+            x = jax.nn.relu(x)
+            continue
         # downward pass: residual K_{l,l+1} + ReLU
         for l in range(level - 1):
             x = x + _conv(x, g.down_senders, g.down_receivers, g.down_attr,

@@ -166,23 +166,38 @@ def partition_multilevel_graph(g: MultiLevelGraph, n_shards: int,
     return parts, meta
 
 
-def _gathered_conv(x_all, bucket, kernel_params, width, out_size):
+def _gathered_conv(x_all, bucket, kernel_params, width, out_size,
+                   impl: str = "reference"):
     """Messages from the all-gathered features, reduced onto out_size
-    local rows (masked mean — PyG scatter_mean parity)."""
-    x_src = x_all[bucket["senders"]]
-    msg = _kernel_messages(x_src, bucket["attr"], kernel_params, width,
-                           width, "full", None)
+    local rows (masked mean — PyG scatter_mean parity). impl 'pallas' /
+    'pallas_interpret' takes the fused message kernel on the local edge
+    bucket (the gather out of the all-gathered features happens inside
+    the kernel — same pattern as halo.node_sharded_conv_local)."""
+    if impl in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_edge_conv import fused_edge_messages
+
+        msg = fused_edge_messages(
+            x_all, bucket["senders"], bucket["attr"], kernel_params,
+            in_channels=width, out_channels=width,
+            interpret=(impl == "pallas_interpret"))
+    else:
+        x_src = x_all[bucket["senders"]]
+        msg = _kernel_messages(x_src, bucket["attr"], kernel_params,
+                               width, width, "full", None)
     return masked_segment_mean(msg, bucket["receivers"], bucket["mask"],
                                out_size)
 
 
 def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
-                                    axis: str = "data") -> jnp.ndarray:
+                                    axis: str = "data",
+                                    impl: str = "reference") -> jnp.ndarray:
     """Node-sharded forward of the general MGKN V-cycle.
 
     Returns [S * loc0, out_width]; the first points[1] rows are the
     finest-level predictions in original node order (each shard's block
-    is a contiguous chunk of level 0)."""
+    is a contiguous chunk of level 0). impl: 'reference' |
+    'pallas' | 'pallas_interpret' (fused conv kernel inside shard_map —
+    interpret mode for CPU meshes)."""
     from jax import shard_map
 
     L = cfg.level
@@ -203,14 +218,14 @@ def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
                 h_all = jax.lax.all_gather(h, axis, axis=0, tiled=True)
                 h = h + _gathered_conv(h_all, down[l],
                                        params["conv_down"][l]["kernel"],
-                                       width, n_loc_tot)
+                                       width, n_loc_tot, impl=impl)
                 h = jax.nn.relu(h)
             for l in reversed(range(L)):
                 h_all = jax.lax.all_gather(h, axis, axis=0, tiled=True)
                 h_slice = h[lo[l]:lo[l + 1]]
                 delta = _gathered_conv(h_all, mid[l],
                                        params["conv_mid"][l]["kernel"],
-                                       width, loc[l])
+                                       width, loc[l], impl=impl)
                 if cfg.variant == "mkgn":
                     # in-place K_ll on the level slice, root term, no
                     # ReLU (MGKN_general_darcy2d.py:84-86)
@@ -225,7 +240,7 @@ def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
                     h = h + _gathered_conv(
                         h_all, up[l - 1],
                         params["conv_up"][l - 1]["kernel"], width,
-                        n_loc_tot)
+                        n_loc_tot, impl=impl)
                     h = jax.nn.relu(h)
 
         h0 = h[lo[0]:lo[1]]
@@ -240,6 +255,9 @@ def mgkn_general_apply_node_sharded(params, cfg, parts, meta, mesh: Mesh,
         in_specs=(spec_tree["x"], spec_tree["down"], spec_tree["mid"],
                   spec_tree["up"]),
         out_specs=P(axis),
+        # pallas_call cannot annotate its outputs' varying-mesh-axes
+        # (same constraint as halo.gkn_apply_node_sharded)
+        check_vma=not impl.startswith("pallas"),
     )
     out = fn(parts["x"], parts["down"], parts["mid"], parts["up"])
     return out.reshape(-1, out.shape[-1])
@@ -324,7 +342,7 @@ def partition_multipole1d(g, n_shards: int, min_block: int = 8,
 
 
 def _orth_conv(x_state, sharded_in, bucket, conv_params, width, axis,
-               out_len_loc):
+               out_len_loc, impl: str = "reference"):
     """One edge-kernel conv on the (sharded or replicated) level state.
     x_state is local [blk, w] when sharded_in else the full [gl, w]."""
     if sharded_in:
@@ -333,9 +351,18 @@ def _orth_conv(x_state, sharded_in, bucket, conv_params, width, axis,
     else:
         x_all = x_state
         out_size = x_state.shape[0]
-    x_src = x_all[bucket["senders"]]
-    msg = _kernel_messages(x_src, bucket["attr"], conv_params["kernel"],
-                           width, width, "full", None)
+    if impl in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_edge_conv import fused_edge_messages
+
+        msg = fused_edge_messages(
+            x_all, bucket["senders"], bucket["attr"],
+            conv_params["kernel"], in_channels=width, out_channels=width,
+            interpret=(impl == "pallas_interpret"))
+    else:
+        x_src = x_all[bucket["senders"]]
+        msg = _kernel_messages(x_src, bucket["attr"],
+                               conv_params["kernel"], width, width,
+                               "full", None)
     out = masked_segment_mean(msg, bucket["receivers"], bucket["mask"],
                               out_size)
     out = out + x_state @ conv_params["root"] + conv_params["bias"]
@@ -343,11 +370,13 @@ def _orth_conv(x_state, sharded_in, bucket, conv_params, width, axis,
 
 
 def mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
-                                       mesh: Mesh, axis: str = "data"):
+                                       mesh: Mesh, axis: str = "data",
+                                       impl: str = "reference"):
     """Node-sharded forward of the orthogonal MGKN V-cycle.
 
     Returns [s, out_width] predictions in original order (contiguous
-    blocks reassemble the sequence)."""
+    blocks reassemble the sequence). impl: 'reference' | 'pallas' |
+    'pallas_interpret' (fused conv kernel inside shard_map)."""
     from jax import shard_map
     from ..ops.pooling import upsample_nearest_1d, avg_pool_1d
 
@@ -386,7 +415,7 @@ def mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
             assert ph_sh == meta["set_sharded"][level]
             h = jax.nn.relu(h + _orth_conv(
                 ph, ph_sh, edges[level], params["conv"][level], width,
-                axis, ph.shape[0]))
+                axis, ph.shape[0], impl=impl))
             for l in reversed(range(level)):
                 if l != 0:
                     h = upsample_nearest_1d(h, 2)
@@ -397,12 +426,12 @@ def mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
                     cur_sharded = ph_sh
                     h = jax.nn.relu(h + _orth_conv(
                         ph, ph_sh, edges[l], params["conv"][l], width,
-                        axis, ph.shape[0]))
+                        axis, ph.shape[0], impl=impl))
                 else:
                     ph, ph_sh = phi[0]
                     h = jax.nn.relu(h + _orth_conv(
                         ph, ph_sh, edges[0], params["conv"][0], width,
-                        axis, ph.shape[0]))
+                        axis, ph.shape[0], impl=impl))
         h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
         h = h @ params["fc3"]["w"] + params["fc3"]["b"]
         return h[None]
@@ -415,6 +444,7 @@ def mgkn_orthogonal_apply_node_sharded(params, cfg, parts, meta,
         body, mesh=mesh,
         in_specs=(spec_x,) + spec_edges,
         out_specs=P(axis),
+        check_vma=not impl.startswith("pallas"),
     )
     out = fn(parts["x"], *parts["edges"])
     return out.reshape(-1, out.shape[-1])

@@ -52,14 +52,24 @@ class GKNTask(_NormalizerDecodeMixin, Task):
 
 
 class GCNTask(_NormalizerDecodeMixin, Task):
+    """``template``: a Graph whose edge structure is shared by every
+    sample (the full-grid lattice, neurips4_GCN.py:133); batches are
+    then ``NodeBatch``es carrying only per-sample node data and the
+    template's senders/receivers ride into the jit as constants."""
+
     def __init__(self, cfg: GCNConfig, u_normalizer=None, loss_type="l1",
-                 use_sample_idx=True):
+                 use_sample_idx=True, template=None):
         self.cfg = cfg
         self.u_normalizer = u_normalizer
         self.loss_type = loss_type
         self.use_sample_idx = use_sample_idx
+        self.template = template
 
     def forward(self, params, batch):
+        if self.template is not None:
+            tpl = self.template
+            return jax.vmap(lambda x: gcn_apply(
+                params, self.cfg, tpl.replace(x=x)))(batch.x)
         return jax.vmap(lambda g: gcn_apply(params, self.cfg, g))(batch)
 
     def mask(self, batch):

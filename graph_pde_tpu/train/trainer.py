@@ -31,6 +31,14 @@ from .optim import adam_steplr
 from ..utils.losses import LpLoss
 
 
+# Stacked-train-set size above which fit() refuses multi-epoch scanning
+# (epochs_per_jit > 1) and silently runs one epoch per jit instead — see
+# the guard in fit(). Calibrated between the proven-good configs (bench
+# ~15 MB, uai2 ~40 MB, mgkn_orthogonal ~100 MB) and the reproducible
+# round-4 TPU worker crash (uai1 full-grid, ~1.3 GB stacked).
+MULTI_EPOCH_MAX_BYTES = 512 * 2**20
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     epochs: int = 200
@@ -334,6 +342,29 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
             total, _ = jax.lax.scan(body, jnp.zeros(()), batches)
             return total
 
+    if scan_epochs and cfg.epochs_per_jit > 1:
+        # Worker-crash guard (round-4 finding, NEXT_STEPS.md): the
+        # K-epoch scanned program at full-grid scale (uai1: stacked
+        # dataset ~1.3 GB, E=383k/graph, kw=1024, depth 6) reproducibly
+        # crashes the TPU worker at K=5, while the per-epoch program is
+        # proven at the same scale. Large datasets also amortize their
+        # epoch dispatch overhead (~25-30 ms) over seconds-scale
+        # epochs, so multi-epoch scanning buys nothing there — fall
+        # back to epochs_per_jit=1 instead of risking the worker.
+        data_bytes = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(train_data))
+        if data_bytes > MULTI_EPOCH_MAX_BYTES:
+            import warnings
+
+            warnings.warn(
+                f"epochs_per_jit={cfg.epochs_per_jit} requested but the "
+                f"stacked train set is {data_bytes / 2**20:.0f} MiB > "
+                f"{MULTI_EPOCH_MAX_BYTES / 2**20:.0f} MiB — falling "
+                "back to one epoch per jit (multi-epoch scanned "
+                "programs at this scale can crash the TPU worker; "
+                "trainer.MULTI_EPOCH_MAX_BYTES)")
+            cfg = dataclasses.replace(cfg, epochs_per_jit=1)
     if scan_epochs and cfg.epochs_per_jit > 1:
         return _fit_multi_epoch(task, params, train_data, cfg, tx,
                                 opt_state, start_epoch, test_full,

@@ -231,6 +231,71 @@ def test_gcn_model_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mgkn_variant_single_ignores_coarse_levels():
+    """neurips2_MGKN.py:74-78 shipped forward: only K_00 runs — the
+    coarse levels are present in the graph but must not influence the
+    output; kcached must agree with the reference impl."""
+    import dataclasses as dc
+
+    g = _tiny_multilevel()
+    cfg = MGKNGeneralConfig(width=8, ker_width=16, depth=2, ker_in=6,
+                            in_width=3, points=(30, 15, 8),
+                            variant="single", impl="reference")
+    params = mgkn_general_init(jax.random.PRNGKey(4), cfg)
+    out = mgkn_general_apply(params, cfg, g)
+    assert out.shape == (30, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    x2 = np.asarray(g.x).copy()
+    x2[30:] += 100.0  # perturb every coarse-level node feature
+    out2 = mgkn_general_apply(params, cfg, g.replace(x=jnp.asarray(x2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
+    out_kc = mgkn_general_apply(params, dc.replace(cfg, impl="kcached"), g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_kc),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_gcn_blocked_and_template_parity():
+    """Blocked-CSR aggregation and the shared-template NodeBatch layout
+    (neurips4 full-grid lattice) must match the flat per-sample path."""
+    from graph_pde_tpu.graph import grid_edge, build_graph
+    from graph_pde_tpu.graph.graph import NodeBatch
+    from graph_pde_tpu.train import GCNTask
+
+    s = 8
+    n = s * s
+    X, ei, _ = grid_edge(s, s)
+    ea = np.zeros((ei.shape[1], 1), np.float32)
+    rng = np.random.default_rng(0)
+    cfg = GCNConfig(width=8, ker_width=16, depth=2, in_width=6)
+    params = gcn_init(jax.random.PRNGKey(1), cfg)
+    feats = rng.normal(size=(2, n, 6)).astype(np.float32)
+
+    g_flat = build_graph(feats[0], ei[0], ei[1], ea)
+    g_blk = build_graph(feats[0], ei[0], ei[1], ea, node_block=16)
+    o_flat = gcn_apply(params, cfg, g_flat)
+    o_blk = gcn_apply(params, cfg, g_blk)
+    np.testing.assert_allclose(np.asarray(o_flat)[:n],
+                               np.asarray(o_blk)[:n], rtol=2e-3,
+                               atol=1e-4)
+
+    n_pad = g_blk.num_nodes_padded
+    xs = np.zeros((2, n_pad, 6), np.float32)
+    xs[:, :n] = feats
+    batch = NodeBatch(x=jnp.asarray(xs),
+                      y=jnp.zeros((2, n_pad, 1), jnp.float32),
+                      n_node=jnp.full((2,), n, jnp.int32))
+    task = GCNTask(cfg, template=g_blk.replace(
+        x=jnp.zeros((n_pad, 6), jnp.float32)))
+    out_b = task.forward(params, batch)
+    for j in range(2):
+        gj = build_graph(feats[j], ei[0], ei[1], ea, node_block=16)
+        oj = gcn_apply(params, cfg, gj)
+        np.testing.assert_allclose(np.asarray(out_b[j])[:n],
+                                   np.asarray(oj)[:n], rtol=2e-3,
+                                   atol=1e-4)
+
+
 def test_mgkn_single_level():
     """neurips2_MGKN-style single-level ablation: no inter-level edges."""
     from graph_pde_tpu.graph import RandomMultiMeshGenerator, \

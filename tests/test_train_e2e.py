@@ -127,6 +127,29 @@ def test_checkpoint_roundtrip(tmp_path, darcy_fields):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_fit_multi_epoch_size_guard(darcy_fields, monkeypatch):
+    """Above MULTI_EPOCH_MAX_BYTES fit() must fall back to one epoch
+    per jit (the round-4 uai1 full-grid TPU worker crash): per-epoch
+    histories and per-epoch test evals, not chunk-boundary ones."""
+    from graph_pde_tpu.train import trainer as trainer_mod
+
+    arrays, _ = prepare_darcy(darcy_fields, n=12, u_norm="unit")
+    train_g = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+    cfg = GKNConfig(width=16, ker_width=32, depth=1, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="l1",
+                   use_sample_idx=False)
+    tc = TrainConfig(epochs=4, batch_size=4, learning_rate=2e-3,
+                     loss="l1", epochs_per_jit=4)
+    monkeypatch.setattr(trainer_mod, "MULTI_EPOCH_MAX_BYTES", 1024)
+    with pytest.warns(UserWarning, match="falling\\s+back"):
+        res = fit(task, params, train_g, tc, test_data=train_g)
+    # fell back to the per-epoch path: test eval EVERY epoch
+    assert res.test_epochs == [1, 2, 3, 4]
+    assert len(res.train_l2) == 4
+
+
 def test_fit_multi_epoch_chunks(darcy_fields):
     """epochs_per_jit>1 (K epochs scanned in one jit, on-device shuffle)
     must train equivalently to the per-epoch path: same history lengths,
