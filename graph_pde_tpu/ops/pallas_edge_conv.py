@@ -502,7 +502,7 @@ def _pad_e(arr, e_pad):
 def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
                   dtype_name, interpret, chunk=None,
                   dim_semantics=True, resident=False, layout="i",
-                  merged_bwd=False, fwd_qt="gemm"):
+                  merged_bwd=False, fwd_qt="gemm", wl_bf16=False):
     n_layers = len(layer_dims)
     n_small = n_layers - 1
     a_dim = layer_dims[0][0]
@@ -518,6 +518,14 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         inv_perm = np.argsort(perm)
     n_chunks = c_total // chunk
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+
+    def _cast_wl(w):
+        # bf16-resident Wl (o-major, bf16 compute only): numerically
+        # identical — the kernels cast Wl to bf16 at every _dot anyway —
+        # but the VMEM slab halves (4 -> 2 MB at kw=256, c=4096), which
+        # is what unlocks block_e=512 for the merged backward (round-5
+        # probe; the fit math lives in fused_edge_messages' _fits).
+        return w.astype(jnp.bfloat16) if wl_bf16 else w
 
     def params_for(grid_order):
         # Declare which grid axis is embarrassingly parallel so Mosaic
@@ -576,7 +584,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         xs = _pad_e(x_src, e_pad)
         at = _pad_e(attr, e_pad)
         if layout == "o":
-            wlp = flat[2 * n_small][:, perm]
+            wlp = _cast_wl(flat[2 * n_small][:, perm])
             blp = flat[2 * n_small + 1][:, perm]
             kernel = functools.partial(_fwd_kernel_omj, in_channels,
                                        out_channels, n_small, chunk,
@@ -641,7 +649,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
         gp = _pad_e(g, e_pad)
 
         if layout == "o" and merged_bwd:
-            wlp = w_last[:, perm]
+            wlp = _cast_wl(w_last[:, perm])
             nb = e_pad // block_e
             # Measured (scripts/merged_probe.py, real v5e): accumulating
             # into the REVISITED OUTPUT block ("noscr") makes Mosaic
@@ -683,7 +691,7 @@ def _get_fused_fn(layer_dims, in_channels, out_channels, block_e,
             return dwl_p[:, inv_perm], dbl_p[:, inv_perm], dx[:e], dh2[:e]
 
         if layout == "o":
-            wlp = w_last[:, perm]
+            wlp = _cast_wl(w_last[:, perm])
             k1 = functools.partial(_bwd_dx_kernel_omj, in_channels,
                                    out_channels, chunk, n_chunks, dtype)
             dx, dh2 = pl.pallas_call(
@@ -868,7 +876,7 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                         compute_dtype=None, block_e=None,
                         chunk=None, dim_semantics=True, resident=None,
                         layout=None, merged_bwd=None, fwd_qt="gemm",
-                        sender_sort=None, interpret=None):
+                        sender_sort=None, interpret=None, wl_bf16=None):
     """[E, w_out] messages x_src @ kappa(attr), fused (no [E, w_in*w_out]
     HBM round-trip).
 
@@ -879,6 +887,11 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
     layout: 'i' (reference i-major columns) or 'o' (o-major: Wl columns
     permuted once per call in XLA so both broadcast patterns are free
     VPU ops — see the o-major section above). None auto-selects.
+
+    wl_bf16: stream/hold the resident Wl in bf16 (o-major + bf16 compute
+    only; numerically identical — the kernels cast Wl at every _dot —
+    but the dominant VMEM slab halves, unlocking block_e=512 for the
+    merged backward). None auto-selects it exactly there.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -928,6 +941,16 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
             512 if kw_last <= 512 else 256)
         if layout == "o":
             block_e = min(block_e, 512)
+    _is_bf16 = compute_dtype in ("bfloat16", jnp.bfloat16)
+    if wl_bf16 is None:
+        # candidate default: True exactly where it is numerically a
+        # no-op (bf16 compute, o-major resident Wl). Kept OFF until the
+        # round-5 TPU probe (scripts/fused_bwd_breakdown.py wl-bf16
+        # arms) proves Mosaic compiles the be=512 merged kernel —
+        # flip to `bool(_is_bf16 and layout == "o" and resident)` then.
+        wl_bf16 = False
+    _wl_bf16_eff = bool(wl_bf16 and layout == "o" and resident
+                        and _is_bf16)
     if resident and not interpret and (auto_chunk or auto_block):
         # Mosaic VMEM fit (v5e: 16 MB/core): resident Wl (f32) + the
         # two [block_e, chunk] f32 working tiles (h3c, xrep) + double
@@ -945,12 +968,16 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
         # 'noscr' holds 2 slabs (no VMEM scratch), True holds 3
         merged_eff = merged_bwd if layout == "o" else False
         n_slabs = 2 if merged_eff == "noscr" else 3
+        wl_bytes = 2 if _wl_bf16_eff else 4
 
         def _fits(be, ch):
             if merged_eff:
-                return (n_slabs * kw_last * c_total * 4 + 3 * be * ch * 4
+                # Wl slab at its storage dtype + dwl scratch/output f32
+                return (kw_last * c_total * wl_bytes
+                        + (n_slabs - 1) * kw_last * c_total * 4
+                        + 3 * be * ch * 4
                         + 4 * be * kw_last * 4) <= 14_500_000
-            return kw_last * c_total * 4 + 3 * be * ch * 4 \
+            return kw_last * c_total * wl_bytes + 3 * be * ch * 4 \
                 <= 12 * 1024 * 1024
         eff_chunk = chunk if chunk is not None else min(C_CHUNK, c_total)
         shrink_align = out_channels if layout == "i" \
@@ -977,7 +1004,8 @@ def fused_edge_messages(x, senders, edge_attr, kernel_params, *,
                           dtype_name, interpret, chunk=chunk,
                           dim_semantics=dim_semantics, resident=resident,
                           layout=layout, merged_bwd=merged_bwd,
-                          fwd_qt=fwd_qt if layout == "o" else "gemm")
+                          fwd_qt=fwd_qt if layout == "o" else "gemm",
+                          wl_bf16=_wl_bf16_eff)
     from .segment import gather_rows, gather_rows_st
 
     flat = tuple(_flatten_params(kernel_params))

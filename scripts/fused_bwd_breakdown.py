@@ -58,11 +58,12 @@ def main():
     span0 = int((rb0[:, -1] - rb0[:, 0]).max()) + 1
     st = (jax.device_put(jnp.asarray(sperm0, jnp.int32)), span0)
 
-    def msg_of(xx, kpp, sender_sort=None, merged_bwd=False):
+    def msg_of(xx, kpp, sender_sort=None, merged_bwd=False,
+               wl_bf16=None, block_e=None):
         return fused_edge_messages(
             xx, senders, attr, kpp, in_channels=w, out_channels=w,
             compute_dtype="bfloat16", sender_sort=sender_sort,
-            merged_bwd=merged_bwd)
+            merged_bwd=merged_bwd, wl_bf16=wl_bf16, block_e=block_e)
 
     def time_fn(fn, *ops, iters=args.iters):
         jfn = jax.jit(fn)
@@ -82,10 +83,12 @@ def main():
         out, _ = jax.lax.scan(body, x, None, length=args.iters)
         return out
 
-    def grad_loop(argnums, sender_sort=None, merged_bwd=False):
+    def grad_loop(argnums, sender_sort=None, merged_bwd=False,
+                  wl_bf16=None, block_e=None):
         def loop(x, kp):
             def one(xx, kpp):
-                m = msg_of(xx, kpp, sender_sort, merged_bwd)
+                m = msg_of(xx, kpp, sender_sort, merged_bwd,
+                           wl_bf16, block_e)
                 return jnp.sum(m * m)
 
             def body(carry, _):
@@ -179,6 +182,16 @@ def main():
         ("fwd+dk+dx st-gather", grad_loop((0, 1), st)),
         ("fwd+dk+dx merged", grad_loop((0, 1), None, True)),
         ("fwd+dk+dx merged+st", grad_loop((0, 1), st, True)),
+        # round-5 wl-bf16 probe: pinned f32 Wl reproduces the round-4
+        # default (auto gate then caps the merged kernel at be=256);
+        # the bf16-Wl arms isolate slab-dtype (be256) vs the unlocked
+        # block size (be512)
+        ("merged+st wlf32 (r4 default)",
+         grad_loop((0, 1), st, True, wl_bf16=False)),
+        ("merged+st wlbf16 be256",
+         grad_loop((0, 1), st, True, wl_bf16=True, block_e=256)),
+        ("merged+st wlbf16 be512",
+         grad_loop((0, 1), st, True, wl_bf16=True, block_e=512)),
         ("scatter-add alone", scatter_loop),
         ("perm gather alone", permgather_loop),
         ("perm + blockoh", permblockoh_loop),
