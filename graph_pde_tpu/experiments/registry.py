@@ -270,12 +270,20 @@ register(ExperimentConfig(
     kernel_variant="nn3", loss="mse", epochs=100, batch_size=1,
     scheduler_step=50, scheduler_gamma=0.5))
 
-# neurips5_GKN.py: Burgers GKN, two-layer decoder.
+# neurips5_GKN.py: Burgers GKN, two-layer decoder. Reference protocol
+# (lines 46-89): s=2^13/8=1024, ntrain=ntest=32, k=2 graphs/sample,
+# m=128, radius 0.2, width 64, ker_width 1024, depth 6 (ReLU except
+# last, line 31-33), epochs 101, batch 4, lr 1e-4, StepLR(10, 0.85),
+# L1 backward on encoded u (line 186-188), unit normalizer with
+# sample_idx decode; full-grid eval via RandomGridSplitter d=1
+# (lines 140, 206-231).
 register(ExperimentConfig(
     name="neurips5_gkn", family="gkn", dataset="burgers", source_res=1024,
-    downsample=1, ntrain=100, ntest=40, nystrom_m=128, radius_train=0.25,
-    width=64, ker_width=256, depth=4, kernel_variant="nn3",
-    decoder_mlp=True, loss="mse", epochs=100, batch_size=2,
+    downsample=1, ntrain=32, ntest=32, nystrom_m=128,
+    graphs_per_sample=2, radius_train=0.2, width=64, ker_width=1024,
+    depth=6, kernel_variant="nn3", decoder_mlp=True, loss="l1",
+    u_norm="unit", epochs=101, batch_size=4, learning_rate=1e-4,
+    scheduler_step=10, scheduler_gamma=0.85,
     eval_protocol="split_random"))
 
 # ---------------------------------------------------------------- MGKN
