@@ -185,6 +185,36 @@ def test_fused_variants_match():
                                        err_msg=f"variant={kw}")
 
 
+def test_fused_wl_bf16_slab_is_noop():
+    """wl_bf16=True stores the resident o-major Wl slab in bf16; since
+    the kernels cast Wl to bf16 at every dot under bf16 compute anyway,
+    it must reproduce the wl_bf16=False bf16-compute result to bf16
+    rounding (values and all grads) — the round-5 merged-backward
+    block-size unlock must not change numerics."""
+    w = 16
+    x, senders, attr, kparams = _setup(e=256, w=w, seed=13)
+
+    def run(wl_bf16):
+        def loss(x, attr, kp):
+            msg = fused_edge_messages(
+                x, senders, attr, kp, in_channels=w, out_channels=w,
+                compute_dtype="bfloat16", resident=True, layout="o",
+                merged_bwd=True, wl_bf16=wl_bf16, interpret=True)
+            return jnp.sum(jnp.sin(msg) * msg)
+
+        v, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            x, attr, kparams)
+        return v, jax.tree_util.tree_leaves(g)
+
+    v_f32, g_f32 = run(False)
+    v_bf16, g_bf16 = run(True)
+    np.testing.assert_allclose(float(v_f32), float(v_bf16),
+                               rtol=2e-2, atol=1e-3)
+    for a, b in zip(g_f32, g_bf16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2)
+
+
 def test_scatter_free_gather_transpose_matches():
     """gather_rows_st (sender-sorted block-local one-hot transpose,
     graph.sender_perm/sender_span) must produce identical values and
