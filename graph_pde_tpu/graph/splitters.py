@@ -104,28 +104,38 @@ class RandomMultiMeshSplitter:
             self.splits += 1
         self.perm = None
 
+    def _ring_window(self, start: int, count: int) -> np.ndarray:
+        """`count` consecutive entries of the cached permutation read
+        circularly from offset `start`. count == a positive multiple of
+        n yields the whole (rotated) permutation — the behaviour the
+        reference's wraparound comparison produces when a window's two
+        ends coincide (mp/utilities.py:836-856)."""
+        if count % self.n == 0 and count > 0:
+            count = self.n
+        else:
+            count %= self.n
+        lo = start % self.n
+        hi = lo + count
+        if hi <= self.n:
+            return self.perm[lo:hi]
+        return np.concatenate([self.perm[lo:], self.perm[:hi - self.n]])
+
     def sample(self, new_sample: bool = True, index0: int = 0):
+        """Per-level node draws for one split: consecutive circular
+        windows of ONE fixed permutation, sized ms[l], starting at
+        index0 — successive splits advance index0 so their finest-level
+        windows tile the grid exactly once (reference semantics:
+        mp/utilities.py:829-856). Returns (per-level id arrays, their
+        union window)."""
         if new_sample or self.perm is None:
             self.perm = self.rng.permutation(self.n)
-        idx = []
-        index = index0
-        index_end = index0
-        for l in range(self.level):
-            index = index % self.n
-            index_end = (index + self.ms[l]) % self.n
-            if index < index_end:
-                ids = self.perm[index:index_end]
-            else:
-                ids = np.concatenate(
-                    [self.perm[index:], self.perm[:index_end]])
-            idx.append(ids)
-            index = index_end
-        if index0 < index_end:
-            idx_all = self.perm[index0:index_end]
-        else:
-            idx_all = np.concatenate(
-                [self.perm[index0:], self.perm[:index_end]])
-        return idx, idx_all
+        per_level = []
+        cursor = index0
+        for size in self.ms:
+            per_level.append(self._ring_window(cursor, size))
+            cursor += size
+        union = self._ring_window(index0, cursor - index0)
+        return per_level, union
 
     def splitter(self, radius_inner, radius_inter, theta_a: np.ndarray,
                  theta_all: np.ndarray,
