@@ -46,6 +46,32 @@ def test_random_multimesh_splitter_covers_grid():
     np.testing.assert_allclose(pred, np.arange(64, dtype=np.float32))
 
 
+def test_multimesh_sample_ring_windows():
+    """sample() walks consecutive circular windows of one fixed
+    permutation: levels are disjoint until the walk wraps, the union
+    window equals their concatenation, and a wrapped window stitches
+    tail + head of the permutation (mp/utilities.py:829-856 semantics)."""
+    sp = RandomMultiMeshSplitter([[0, 1], [0, 1]], [8, 8], level=2,
+                                 sample_sizes=[24, 12], seed=3)
+    idx, union = sp.sample(new_sample=True, index0=0)
+    assert [len(a) for a in idx] == [24, 12]
+    assert len(union) == 36
+    np.testing.assert_array_equal(np.concatenate(idx), union)
+    assert len(set(union.tolist())) == 36  # disjoint windows
+    np.testing.assert_array_equal(union, sp.perm[:36])
+    # wrapped window: start near the end of the 64-entry permutation
+    idx2, union2 = sp.sample(new_sample=False, index0=60)
+    np.testing.assert_array_equal(
+        idx2[0], np.concatenate([sp.perm[60:], sp.perm[:20]]))
+    np.testing.assert_array_equal(union2[:4], sp.perm[60:])
+    assert len(union2) == 36
+    # a window spanning exactly the whole permutation returns all of it
+    sp2 = RandomMultiMeshSplitter([[0, 1], [0, 1]], [4, 4], level=2,
+                                  sample_sizes=[12, 4], seed=0)
+    _, union3 = sp2.sample(new_sample=True, index0=5)
+    assert sorted(union3.tolist()) == list(range(16))
+
+
 def test_multimesh_splitter_graphs_run_through_model():
     from graph_pde_tpu.models import (
         MGKNGeneralConfig, mgkn_general_init, mgkn_general_apply,
