@@ -38,6 +38,16 @@ from ..utils.losses import LpLoss
 # round-4 TPU worker crash (uai1 full-grid, ~1.3 GB stacked).
 MULTI_EPOCH_MAX_BYTES = 512 * 2**20
 
+# Stacked-train-set size above which the per-epoch path gathers each
+# batch from the device-resident dataset inside the epoch scan (indexed
+# by a small [n_steps, B] permutation argument) instead of materializing
+# a full shuffled copy on device. stack_epoch's copy transiently doubles
+# the dataset's HBM footprint (old epoch's copy + new one can overlap →
+# ~3x), which OOMs the v5e at neurips4_gcn scale (1024 x 421^2-node
+# lattice samples ~ 5.1 GB stacked). The gather costs one [B, ...] take
+# per step — noise next to a train step.
+GATHER_EPOCH_MIN_BYTES = 2 * 2**30
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -137,6 +147,33 @@ def make_epoch_fn(task: Task, tx):
 
         (params, opt_state), (losses, l2s) = jax.lax.scan(
             body, (params, opt_state), batches)
+        return params, opt_state, jnp.sum(losses), jnp.sum(l2s)
+
+    return epoch_fn
+
+
+def make_epoch_fn_gather(task: Task, tx):
+    """Whole-epoch train function for datasets too large to re-stack
+    per epoch (GATHER_EPOCH_MIN_BYTES): the scan carries the
+    device-resident dataset as an argument and each step gathers its
+    batch by index from a [n_steps, B] permutation — same math as
+    make_epoch_fn on stack_epoch output, without the full shuffled
+    device copy."""
+    loss_fn = make_loss_fn(task, task.loss_type)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, data, perm):
+        def body(carry, idx_b):
+            params, opt_state = carry
+            batch = jax.tree_util.tree_map(lambda a: a[idx_b], data)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, metrics["l2_sum"])
+
+        (params, opt_state), (losses, l2s) = jax.lax.scan(
+            body, (params, opt_state), perm)
         return params, opt_state, jnp.sum(losses), jnp.sum(l2s)
 
     return epoch_fn
@@ -373,8 +410,14 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
                                 callback=callback,
                                 checkpoint_dir=checkpoint_dir,
                                 checkpoint_every=checkpoint_every)
+    gather_epochs = False
     if scan_epochs:
-        epoch_fn = make_epoch_fn(task, tx)
+        data_bytes = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(train_data))
+        gather_epochs = data_bytes > GATHER_EPOCH_MIN_BYTES
+        epoch_fn = (make_epoch_fn_gather(task, tx) if gather_epochs
+                    else make_epoch_fn(task, tx))
     else:
         train_step = make_train_step(task, tx)
 
@@ -382,10 +425,18 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
     for ep in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         if scan_epochs:
-            batches = stack_epoch(train_data, cfg.batch_size, rng)
             count = (n_train // cfg.batch_size) * cfg.batch_size
-            params, opt_state, _, l2_sum = epoch_fn(
-                params, opt_state, batches)
+            if gather_epochs:
+                order = np.arange(n_train)
+                rng.shuffle(order)
+                perm = jnp.asarray(
+                    order[:count].reshape(-1, cfg.batch_size), jnp.int32)
+                params, opt_state, _, l2_sum = epoch_fn(
+                    params, opt_state, train_data, perm)
+            else:
+                batches = stack_epoch(train_data, cfg.batch_size, rng)
+                params, opt_state, _, l2_sum = epoch_fn(
+                    params, opt_state, batches)
         else:
             l2_sum = jnp.zeros(())
             count = 0

@@ -150,6 +150,31 @@ def test_fit_multi_epoch_size_guard(darcy_fields, monkeypatch):
     assert len(res.train_l2) == 4
 
 
+def test_fit_gather_epoch_path_matches_stack(darcy_fields, monkeypatch):
+    """Above GATHER_EPOCH_MIN_BYTES fit() switches to the per-step
+    batch gather (no full shuffled device copy — the neurips4_gcn OOM
+    fix). Same seed => identical batch order, so histories must match
+    the stack_epoch path to float tolerance."""
+    from graph_pde_tpu.train import trainer as trainer_mod
+
+    arrays, _ = prepare_darcy(darcy_fields, n=12, u_norm="unit")
+    train_g = darcy_gkn_graphs(arrays, radius=0.25, seed=0)
+    cfg = GKNConfig(width=16, ker_width=32, depth=2, ker_in=6, in_width=6,
+                    impl="reference")
+    params = gkn_init(jax.random.PRNGKey(0), cfg)
+    task = GKNTask(cfg, u_normalizer=arrays.u_normalizer, loss_type="l1",
+                   use_sample_idx=False)
+    tc = TrainConfig(epochs=3, batch_size=4, learning_rate=2e-3,
+                     loss="l1")
+    r_stack = fit(task, params, train_g, tc, test_data=train_g)
+    monkeypatch.setattr(trainer_mod, "GATHER_EPOCH_MIN_BYTES", 1024)
+    r_gather = fit(task, params, train_g, tc, test_data=train_g)
+    np.testing.assert_allclose(r_gather.train_l2, r_stack.train_l2,
+                               rtol=1e-5)
+    np.testing.assert_allclose(r_gather.test_l2, r_stack.test_l2,
+                               rtol=1e-5)
+
+
 def test_fit_multi_epoch_chunks(darcy_fields):
     """epochs_per_jit>1 (K epochs scanned in one jit, on-device shuffle)
     must train equivalently to the per-epoch path: same history lengths,
