@@ -48,6 +48,15 @@ MULTI_EPOCH_MAX_BYTES = 512 * 2**20
 # per step — noise next to a train step.
 GATHER_EPOCH_MIN_BYTES = 2 * 2**30
 
+# Max scan length per gather-epoch dispatch. A single 1024-step gather
+# scan over the 5.1 GB resident set reproducibly crashes the TPU worker
+# (round 5, neurips4_gcn — same failure class as the round-4 uai1
+# multi-epoch crash, where a 500-step scanned program died while the
+# 100-step one was proven). Chunking the permutation keeps each program
+# in the proven scan-length band at a few dispatches per epoch; the
+# host still syncs only once per epoch.
+GATHER_CHUNK_STEPS = 128
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -429,10 +438,15 @@ def fit(task: Task, params, train_data, cfg: TrainConfig,
             if gather_epochs:
                 order = np.arange(n_train)
                 rng.shuffle(order)
-                perm = jnp.asarray(
-                    order[:count].reshape(-1, cfg.batch_size), jnp.int32)
-                params, opt_state, _, l2_sum = epoch_fn(
-                    params, opt_state, train_data, perm)
+                perm_full = order[:count].reshape(-1, cfg.batch_size)
+                l2_sum = jnp.zeros(())
+                for c0 in range(0, perm_full.shape[0],
+                                GATHER_CHUNK_STEPS):
+                    perm = jnp.asarray(
+                        perm_full[c0:c0 + GATHER_CHUNK_STEPS], jnp.int32)
+                    params, opt_state, _, l2_c = epoch_fn(
+                        params, opt_state, train_data, perm)
+                    l2_sum = l2_sum + l2_c
             else:
                 batches = stack_epoch(train_data, cfg.batch_size, rng)
                 params, opt_state, _, l2_sum = epoch_fn(

@@ -173,6 +173,12 @@ def test_fit_gather_epoch_path_matches_stack(darcy_fields, monkeypatch):
                                rtol=1e-5)
     np.testing.assert_allclose(r_gather.test_l2, r_stack.test_l2,
                                rtol=1e-5)
+    # chunked dispatch (worker-crash guard) must not change the math:
+    # force one scan step per dispatch
+    monkeypatch.setattr(trainer_mod, "GATHER_CHUNK_STEPS", 1)
+    r_chunk = fit(task, params, train_g, tc, test_data=train_g)
+    np.testing.assert_allclose(r_chunk.train_l2, r_stack.train_l2,
+                               rtol=1e-5)
 
 
 def test_fit_multi_epoch_chunks(darcy_fields):
